@@ -1,0 +1,161 @@
+"""upfirdn2d: upsample -> FIR filter -> downsample -> crop, NHWC, TPU-native.
+
+This is the StyleGAN2 resampling primitive. The reference implements it as a
+hand-tiled CUDA kernel (`op/upfirdn2d_kernel.cu:107-207`) with a Python
+autograd wrapper whose backward is another upfirdn2d with flipped kernel
+(`op/upfirdn2d.py:217-343`). On TPU the whole operation is exactly one XLA
+convolution:
+
+    zero-insertion upsample  -> lhs_dilation=(up, up)
+    pad / crop (negative ok) -> XLA conv padding (supports negative values)
+    FIR filter (true conv)   -> depthwise conv with spatially flipped kernel
+    downsample               -> window_strides=(down, down)
+
+so we let XLA schedule it onto the VPU/MXU and get arbitrary-order
+differentiation for free (needed by the R1 penalty, `restoration_train.py:66-73`).
+
+Semantics match the reference `upfirdn2d_native` (`op/upfirdn2d.py:365-406`)
+including asymmetric/negative 4-tuple pads used by ADA
+(`non_leaking.py:879-905`). One subtlety: the reference upsample appends
+(up-1) trailing zero rows/cols, XLA lhs_dilation does not — compensated by
+adding (up-1) to the trailing pads.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_resample_kernel(k) -> jnp.ndarray:
+    """Build a normalized 2D FIR kernel from a 1D tap list (outer product).
+
+    Mirrors `make_kernel` (`models/RestoreNet.py:32-40`).
+    """
+    k = jnp.asarray(k, dtype=jnp.float32)
+    if k.ndim == 1:
+        k = jnp.outer(k, k)
+    return k / jnp.sum(k)
+
+
+def _normalize_pad(pad) -> tuple[int, int, int, int]:
+    """Return (pad_x0, pad_x1, pad_y0, pad_y1) from a 2- or 4-tuple."""
+    pad = tuple(int(p) for p in pad)
+    if len(pad) == 2:
+        return pad[0], pad[1], pad[0], pad[1]
+    if len(pad) == 4:
+        return pad
+    raise ValueError(f"pad must have 2 or 4 elements, got {pad}")
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down", "pad"))
+def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
+              pad=(0, 0)) -> jnp.ndarray:
+    """Apply upfirdn to an NHWC tensor.
+
+    Args:
+      x: (B, H, W, C) input.
+      kernel: (kh, kw) FIR filter (applied as true convolution, i.e. flipped).
+      up / down: integer resampling factors (applied to both spatial dims).
+      pad: (pad0, pad1) symmetric or (x0, x1, y0, y1) asymmetric padding,
+        applied after upsampling; negative values crop.
+
+    Returns:
+      (B, (H*up + pady0 + pady1 - kh)//down + 1,
+          (W*up + padx0 + padx1 - kw)//down + 1, C) output, same dtype as x.
+    """
+    px0, px1, py0, py1 = _normalize_pad(pad)
+    b, h, w, c = x.shape
+    kh, kw = kernel.shape
+
+    # Reference zero-insertion keeps (up-1) trailing zeros per sample; XLA
+    # lhs_dilation drops them, so fold them into the trailing pad.
+    py1 += up - 1
+    px1 += up - 1
+
+    # Depthwise true convolution: flip kernel, share across channels.
+    k = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
+    k = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 (depthwise)
+
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        k,
+        window_strides=(down, down),
+        padding=((py0, py1), (px0, px1)),
+        lhs_dilation=(up, up),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        # Tiny depthwise FIR: bandwidth-bound, so full precision is free and
+        # keeps resampling bit-accurate (it feeds every skip/blur path).
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(x.dtype)
+
+
+def upsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """2x (or factor-x) upsample with FIR smoothing (`models/RestoreNet.py:43-60`)."""
+    kernel = kernel * (factor ** 2)
+    p = kernel.shape[0] - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=factor, down=1, pad=(pad0, pad1))
+
+
+def downsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """FIR anti-aliased downsample (`models/RestoreNet.py:63-81`)."""
+    p = kernel.shape[0] - factor
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1))
+
+
+def blur(x: jnp.ndarray, kernel: jnp.ndarray, pad: tuple[int, int],
+         upsample_factor: int = 1) -> jnp.ndarray:
+    """Plain FIR blur with explicit pad (`models/RestoreNet.py:84-101`)."""
+    if upsample_factor > 1:
+        kernel = kernel * (upsample_factor ** 2)
+    return upfirdn2d(x, kernel, pad=pad)
+
+
+def upfirdn2d_ref(x: np.ndarray, kernel: np.ndarray, up: int = 1, down: int = 1,
+                  pad=(0, 0)) -> np.ndarray:
+    """Pure-numpy golden reference, NHWC.
+
+    A direct port of the reference CPU oracle `upfirdn2d_native`
+    (`op/upfirdn2d.py:365-406`) used only in tests.
+    """
+    px0, px1, py0, py1 = _normalize_pad(pad)
+    b, h, w, c = x.shape
+    kh, kw = kernel.shape
+
+    # 1. zero-insertion upsample (keep trailing zeros like the reference)
+    out = np.zeros((b, h * up, w * up, c), dtype=np.float64)
+    out[:, ::up, ::up, :] = x
+
+    # 2. pad (positive) then crop (negative)
+    out = np.pad(
+        out,
+        ((0, 0), (max(py0, 0), max(py1, 0)), (max(px0, 0), max(px1, 0)), (0, 0)),
+    )
+    out = out[
+        :,
+        max(-py0, 0): out.shape[1] - max(-py1, 0),
+        max(-px0, 0): out.shape[2] - max(-px1, 0),
+        :,
+    ]
+
+    # 3. true 2D convolution with the kernel (correlate with flipped kernel)
+    kf = np.flip(kernel, (0, 1)).astype(np.float64)
+    oh = out.shape[1] - kh + 1
+    ow = out.shape[2] - kw + 1
+    res = np.zeros((b, oh, ow, c), dtype=np.float64)
+    for iy in range(kh):
+        for ix in range(kw):
+            res += kf[iy, ix] * out[:, iy: iy + oh, ix: ix + ow, :]
+
+    # 4. downsample
+    res = res[:, ::down, ::down, :]
+    return res.astype(x.dtype)

@@ -17,6 +17,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The environment's sitecustomize pre-registers a remote TPU backend before
+# this file runs, so the env var alone is not enough — force the platform
+# through the config API or every test op round-trips the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 # Correctness tests compare against float64/float32 oracles; keep MXU-style
 # low-precision accumulation out of the comparison.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,261 @@
+"""e4e / pSp style encoder over an IR-SE-50 backbone (flax, NHWC).
+
+Re-design of `e4e/models/encoders/psp_encoders.py` + `helpers.py`. The
+encoder maps a 256x256 face to an 18x512 W+ latent: IR-SE-50 body with
+feature taps after body blocks 6/20/23 (c1/c2/c3), 18 GradualStyleBlock
+heads, and an FPN (`_upsample_add`, bilinear align_corners=True) producing
+per-style deltas added to the duplicated coarse w0
+(`psp_encoders.py:124-231`).
+
+The encoder is frozen in every pipeline stage, so BatchNorm runs in
+inference form with stats stored as plain parameters (converted from the
+torch running stats).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vspbfr_tpu.models.layers import EqualLinear
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True (torch F.interpolate parity for
+    the FPN adds, `helpers.py:123-140`). Implemented as two small matmuls,
+    which XLA maps straight onto the MXU."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def interp_matrix(n_out, n_in):
+        if n_out == 1 or n_in == 1:
+            return jnp.ones((n_out, n_in), jnp.float32) / n_in
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        frac = pos - lo
+        rows = jnp.arange(n_out)
+        m = jnp.zeros((n_out, n_in), jnp.float32)
+        m = m.at[rows, lo].set(1.0 - frac)
+        m = m.at[rows, lo + 1].add(frac)
+        return m
+
+    mh = interp_matrix(oh, h)
+    mw = interp_matrix(ow, w)
+    out = jnp.einsum("oh,bhwc->bowc", mh, x.astype(jnp.float32))
+    out = jnp.einsum("ow,bhwc->bhoc", mw, out)
+    return out.astype(x.dtype)
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch nn.PReLU(C) parity)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = self.param("alpha", nn.initializers.constant(0.25), (self.features,))
+        return jnp.where(x >= 0, x, a * x)
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm with stats as parameters (frozen backbone)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = scale / jnp.sqrt(var + self.eps)
+        return x * inv + (bias - mean * inv)
+
+
+class SEModule(nn.Module):
+    """Squeeze-excitation (`helpers.py:58-76`)."""
+
+    features: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.features // self.reduction, (1, 1), use_bias=False,
+                    name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Conv(self.features, (1, 1), use_bias=False, name="fc2")(s)
+        return x * nn.sigmoid(s)
+
+
+class BottleneckIRSE(nn.Module):
+    """IR-SE residual unit (`helpers.py:99-120`)."""
+
+    depth: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        if in_ch == self.depth:
+            shortcut = x[:, ::self.stride, ::self.stride, :]  # MaxPool2d(1, stride)
+        else:
+            shortcut = nn.Conv(self.depth, (1, 1), strides=self.stride,
+                               use_bias=False, name="shortcut_conv")(x)
+            shortcut = FrozenBatchNorm(self.depth, name="shortcut_bn")(shortcut)
+        res = FrozenBatchNorm(in_ch, name="bn1")(x)
+        res = nn.Conv(self.depth, (3, 3), padding=1, use_bias=False,
+                      name="conv1")(res)
+        res = PReLU(self.depth, name="prelu")(res)
+        res = nn.Conv(self.depth, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False, name="conv2")(res)
+        res = FrozenBatchNorm(self.depth, name="bn2")(res)
+        res = SEModule(self.depth, name="se")(res)
+        return res + shortcut
+
+
+# (depth, num_units) per stage for IR-50 (`helpers.py:30-38`)
+IR50_STAGES = ((64, 3), (128, 4), (256, 14), (512, 3))
+
+
+class GradualStyleBlock(nn.Module):
+    """Stride-2 conv stack -> EqualLinear style head
+    (`psp_encoders.py:34-55`)."""
+
+    out_features: int
+    spatial: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        num_pools = int(math.log2(self.spatial))
+        for i in range(num_pools):
+            x = nn.Conv(self.out_features, (3, 3), strides=2, padding=1,
+                        name=f"conv{i}")(x)
+            x = nn.leaky_relu(x, 0.01)
+        x = x.reshape(x.shape[0], -1)
+        return EqualLinear(self.out_features, name="linear")(x)
+
+
+class Encoder4Editing(nn.Module):
+    """Main style encoder (`psp_encoders.py:124-231`).
+
+    __call__ returns the (B, style_count, 512) W+ code (all deltas active,
+    ProgressiveStage.Inference). `return_feats=True` additionally returns all
+    body block outputs (forward_with_feat parity).
+    """
+
+    stylegan_size: int = 1024
+    input_channels: int = 3  # opts.input_channel
+
+    @property
+    def style_count(self) -> int:
+        return 2 * int(math.log2(self.stylegan_size)) - 2
+
+    COARSE_IND = 3
+    MIDDLE_IND = 7
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_feats: bool = False):
+        # input layer: conv3x3 + BN + PReLU (`psp_encoders.py:131-133`)
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="input_conv")(x)
+        x = FrozenBatchNorm(64, name="input_bn")(x)
+        x = PReLU(64, name="input_prelu")(x)
+
+        feats = []
+        c1 = c2 = c3 = None
+        idx = 0
+        in_depth = 64
+        for stage, (depth, num_units) in enumerate(IR50_STAGES):
+            for unit in range(num_units):
+                stride = 2 if unit == 0 else 1
+                x = BottleneckIRSE(depth, stride, name=f"body_{idx}")(x)
+                if idx == 6:
+                    c1 = x
+                elif idx == 20:
+                    c2 = x
+                elif idx == 23:
+                    c3 = x
+                if return_feats:
+                    feats.append(x)
+                idx += 1
+            in_depth = depth
+
+        # style heads
+        styles = []
+        for i in range(self.style_count):
+            spatial = 16 if i < self.COARSE_IND else (32 if i < self.MIDDLE_IND else 64)
+            styles.append(GradualStyleBlock(512, spatial, name=f"style_{i}"))
+
+        lat1 = nn.Conv(512, (1, 1), name="latlayer1")
+        lat2 = nn.Conv(512, (1, 1), name="latlayer2")
+
+        w0 = styles[0](c3)
+        deltas = [jnp.zeros_like(w0)]
+        features = c3
+        p2 = None
+        for i in range(1, self.style_count):
+            if i == self.COARSE_IND:
+                p2 = resize_bilinear_align_corners(c3, c2.shape[1:3]) + lat1(c2)
+                features = p2
+            elif i == self.MIDDLE_IND:
+                p1 = resize_bilinear_align_corners(p2, c1.shape[1:3]) + lat2(c1)
+                features = p1
+            deltas.append(styles[i](features))
+
+        w = w0[:, None, :] + jnp.stack(deltas, axis=1)  # (B, style_count, 512)
+        if return_feats:
+            return w, feats
+        return w
+
+
+class GradualStyleEncoder(nn.Module):
+    """pSp variant: every style read directly from the FPN pyramid
+    (`psp_encoders.py:58-121`). Kept for checkpoint compatibility with
+    encoder_type=GradualStyleEncoder."""
+
+    stylegan_size: int = 1024
+    input_channels: int = 3
+
+    @property
+    def style_count(self) -> int:
+        return 2 * int(math.log2(self.stylegan_size)) - 2
+
+    COARSE_IND = 3
+    MIDDLE_IND = 7
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="input_conv")(x)
+        x = FrozenBatchNorm(64, name="input_bn")(x)
+        x = PReLU(64, name="input_prelu")(x)
+
+        c1 = c2 = c3 = None
+        idx = 0
+        for depth, num_units in IR50_STAGES:
+            for unit in range(num_units):
+                stride = 2 if unit == 0 else 1
+                x = BottleneckIRSE(depth, stride, name=f"body_{idx}")(x)
+                if idx == 6:
+                    c1 = x
+                elif idx == 20:
+                    c2 = x
+                elif idx == 23:
+                    c3 = x
+                idx += 1
+
+        latents = []
+        for j in range(self.COARSE_IND):
+            latents.append(GradualStyleBlock(512, 16, name=f"style_{j}")(c3))
+        p2 = resize_bilinear_align_corners(c3, c2.shape[1:3]) + nn.Conv(
+            512, (1, 1), name="latlayer1")(c2)
+        for j in range(self.COARSE_IND, self.MIDDLE_IND):
+            latents.append(GradualStyleBlock(512, 32, name=f"style_{j}")(p2))
+        p1 = resize_bilinear_align_corners(p2, c1.shape[1:3]) + nn.Conv(
+            512, (1, 1), name="latlayer2")(c1)
+        for j in range(self.MIDDLE_IND, self.style_count):
+            latents.append(GradualStyleBlock(512, 64, name=f"style_{j}")(p1))
+        return jnp.stack(latents, axis=1)

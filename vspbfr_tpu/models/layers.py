@@ -1,0 +1,399 @@
+"""StyleGAN2 / SMART building blocks (flax, NHWC).
+
+Re-designs of the blocks in `models/RestoreNet.py:24-787` and
+`e4e/models/stylegan2/model.py`. Parameter layouts are JAX-native
+(linear: (in, out); conv: HWIO); the torch converter transposes.
+
+Equalized-lr convention (matches `EqualLinear`/`EqualConv2d`,
+`models/RestoreNet.py:104-176`): parameters are stored unscaled — weights
+drawn from N(0, 1) (divided by lr_mul for linears), and the scale
+1/sqrt(fan_in) (times lr_mul) is applied at use time. Converters must keep
+stored params unscaled (SURVEY.md §7).
+
+Stochasticity is threaded through the flax 'noise' RNG collection when a
+layer's `noise=` argument is None (mirrors randomize_noise=True).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vspbfr_tpu.ops import (
+    blur as _blur,
+    conv2d,
+    fused_leaky_relu,
+    make_resample_kernel,
+    modulated_conv2d,
+    upfirdn2d,
+    upsample2d,
+)
+
+BLUR_KERNEL_DEFAULT = (1, 3, 3, 1)
+
+
+def pixel_norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-8) -> jnp.ndarray:
+    """x * rsqrt(mean(x^2, channel)) (`models/RestoreNet.py:24-29`).
+
+    The reference normalizes over NCHW dim 1; with channels-last data the
+    equivalent axis is -1. Callers with (B, L, D) latents normalize over D
+    only when the torch code's dim-1 is D (2D inputs); pass axis explicitly
+    for 3D latents where torch dim 1 is the layer axis.
+    """
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=axis, keepdims=True) + eps)
+
+
+def _normal_init(stddev: float = 1.0):
+    return nn.initializers.normal(stddev=stddev)
+
+
+class EqualLinear(nn.Module):
+    """Equalized-lr linear, optional fused-lrelu activation
+    (`models/RestoreNet.py:142-176`)."""
+
+    features: int
+    use_bias: bool = True
+    bias_init: float = 0.0
+    lr_mul: float = 1.0
+    activation: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        w = self.param("weight", _normal_init(1.0 / self.lr_mul),
+                       (in_dim, self.features))
+        scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
+        out = x @ (w * scale)
+        b = None
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.constant(self.bias_init),
+                           (self.features,)) * self.lr_mul
+        if self.activation:
+            return fused_leaky_relu(out, b)
+        if b is not None:
+            out = out + b
+        return out
+
+
+class EqualConv2d(nn.Module):
+    """Equalized-lr conv (`models/RestoreNet.py:104-139`; dilated variant
+    `:683-722`)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        w = self.param("weight", _normal_init(),
+                       (self.kernel_size, self.kernel_size, c_in, self.features))
+        scale = 1.0 / math.sqrt(c_in * self.kernel_size ** 2)
+        out = conv2d(x, w * scale, stride=self.stride, padding=self.padding,
+                     dilation=self.dilation)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b.reshape(1, 1, 1, -1)
+        return out
+
+
+class FusedLeakyReLU(nn.Module):
+    """Per-channel learnable bias + lrelu*sqrt(2) (`op/fused_act.py:199-213`)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return fused_leaky_relu(x, b)
+
+
+class NoiseInjection(nn.Module):
+    """image + weight * noise, scalar learnable weight
+    (`models/RestoreNet.py:557-569`)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, noise: jnp.ndarray | None = None) -> jnp.ndarray:
+        w = self.param("weight", nn.initializers.zeros, (1,))
+        if noise is None:
+            b, h, wd, _ = x.shape
+            noise = jax.random.normal(self.make_rng("noise"), (b, h, wd, 1), x.dtype)
+        return x + w * noise
+
+
+class Blur(nn.Module):
+    """FIR blur with fixed pad (`models/RestoreNet.py:84-101`)."""
+
+    kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+    pad: tuple[int, int] = (0, 0)
+    upsample_factor: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = make_resample_kernel(list(self.kernel))
+        return _blur(x, k, pad=self.pad, upsample_factor=self.upsample_factor)
+
+
+class ModulatedConv2d(nn.Module):
+    """Style-modulated conv with internal affine modulation
+    (`models/RestoreNet.py:421-555`). Supports up/down/dilation."""
+
+    features: int
+    kernel_size: int
+    demodulate: bool = True
+    upsample: bool = False
+    downsample: bool = False
+    dilation: int = 1
+    blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+    external_modulation: bool = False  # Dilated_ModulatedConv2d: style comes pre-modulated
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        if not self.external_modulation:
+            style = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
+        w = self.param("weight", _normal_init(),
+                       (self.kernel_size, self.kernel_size, c_in, self.features))
+        bk = make_resample_kernel(list(self.blur_kernel))
+        return modulated_conv2d(
+            x, w, style,
+            demodulate=self.demodulate,
+            up=self.upsample,
+            down=self.downsample,
+            dilation=self.dilation,
+            blur_kernel=bk,
+        )
+
+
+class StyledConv(nn.Module):
+    """ModulatedConv2d + noise injection + FusedLeakyReLU
+    (`models/RestoreNet.py:571-643`, covers both StyledConv and
+    StyledConv_down via the downsample flag)."""
+
+    features: int
+    kernel_size: int = 3
+    upsample: bool = False
+    downsample: bool = False
+    demodulate: bool = True
+    blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
+                 noise: jnp.ndarray | None = None) -> jnp.ndarray:
+        out = ModulatedConv2d(
+            self.features, self.kernel_size,
+            demodulate=self.demodulate,
+            upsample=self.upsample,
+            downsample=self.downsample,
+            blur_kernel=self.blur_kernel,
+            name="conv",
+        )(x, style)
+        out = NoiseInjection(name="noise")(out, noise)
+        return FusedLeakyReLU(self.features, name="activate")(out)
+
+
+class ToRGB(nn.Module):
+    """1x1 mod-conv (no demod) + bias, with optional upsampled skip
+    (`models/RestoreNet.py:647-666`)."""
+
+    upsample: bool = True
+    blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+    out_features: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
+                 skip: jnp.ndarray | None = None) -> jnp.ndarray:
+        out = ModulatedConv2d(self.out_features, 1, demodulate=False,
+                              name="conv")(x, style)
+        b = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        out = out + b.reshape(1, 1, 1, -1)
+        if skip is not None:
+            k = make_resample_kernel(list(self.blur_kernel))
+            out = out + upsample2d(skip, k)
+        return out
+
+
+class ConvLayer(nn.Module):
+    """[Blur+stride2] EqualConv2d [+ FusedLeakyReLU]
+    (`models/RestoreNet.py:1130-1172`)."""
+
+    features: int
+    kernel_size: int
+    downsample: bool = False
+    blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+    use_bias: bool = True
+    activate: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        if self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (k - 1)
+            x = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2), name="blur")(x)
+            stride, padding = 2, 0
+        else:
+            stride, padding = 1, k // 2
+        out = EqualConv2d(self.features, k, stride=stride, padding=padding,
+                          use_bias=self.use_bias and not self.activate,
+                          name="conv")(x)
+        if self.activate:
+            out = FusedLeakyReLU(self.features, use_bias=self.use_bias,
+                                 name="activate")(out)
+        return out
+
+
+class ResBlock(nn.Module):
+    """StyleGAN2 D residual block (`models/RestoreNet.py:1175-1200`)."""
+
+    features: int
+    blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        out = ConvLayer(c_in, 3, name="conv1")(x)
+        out = ConvLayer(self.features, 3, downsample=True, name="conv2")(out)
+        skip = ConvLayer(self.features, 1, downsample=True, activate=False,
+                         use_bias=False, name="skip")(x)
+        return (out + skip) / math.sqrt(2)
+
+
+class SMARTLayer(nn.Module):
+    """Style-Modulated AggRegation Transformation: one shared style affine
+    drives 4 parallel dilated modulated convs (rates 1/2/4/8, each out/4
+    channels) -> concat -> 3x3 fusion -> noise -> fused lrelu
+    (`models/RestoreNet.py:179-268`)."""
+
+    features: int
+    kernel_size: int = 3
+    upsample: bool = False
+    demodulate: bool = True
+    rates: Sequence[int] = (1, 2, 4, 8)
+    activate: bool = True
+    blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
+                 noise: jnp.ndarray | None = None) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        mod = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
+        branch = self.features // len(self.rates)
+        outs = [
+            ModulatedConv2d(
+                branch, self.kernel_size,
+                demodulate=self.demodulate,
+                upsample=self.upsample,
+                dilation=rate,
+                blur_kernel=self.blur_kernel,
+                external_modulation=True,
+                name=f"dilated_{i}",
+            )(x, mod)
+            for i, rate in enumerate(self.rates)
+        ]
+        out = jnp.concatenate(outs, axis=-1)
+        out = ConvLayer(self.features, 3, name="fusion")(out)
+        out = NoiseInjection(name="noise")(out, noise)
+        if self.activate:
+            out = FusedLeakyReLU(self.features, name="activate")(out)
+        return out
+
+
+class LargeConvLayer(nn.Module):
+    """Unmodulated multi-dilation aggregation: 4 dilated equal-convs ->
+    concat -> 1x1 fusion -> fused lrelu, optional blur+stride-2
+    (`models/RestoreNet.py:725-787`)."""
+
+    features: int
+    kernel_size: int
+    downsample: bool = False
+    rates: Sequence[int] = (1, 2, 4, 8)
+    use_bias: bool = True
+    activate: bool = True
+    blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        if self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (k - 1)
+            x = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2), name="blur")(x)
+            stride = 2
+        else:
+            stride = 1
+        branch = self.features // len(self.rates)
+        outs = []
+        for i, rate in enumerate(self.rates):
+            pad = ((k - 1) * rate - stride) // 2 if self.downsample else ((k - 1) * rate) // 2
+            outs.append(
+                EqualConv2d(branch, k, stride=stride, padding=pad, dilation=rate,
+                            use_bias=self.use_bias and not self.activate,
+                            name=f"dilated_{i}")(x)
+            )
+        out = jnp.concatenate(outs, axis=-1)
+        out = ConvLayer(self.features, 1, name="fusion")(out)
+        if self.activate:
+            out = FusedLeakyReLU(self.features, use_bias=self.use_bias,
+                                 name="activate")(out)
+        return out
+
+
+class StyleMLP(nn.Module):
+    """PixelNorm + n_mlp equalized linears with fused lrelu
+    (`models/RestoreNet.py:837-846`, `e4e/models/stylegan2/model.py:383-392`)."""
+
+    style_dim: int = 512
+    n_mlp: int = 8
+    lr_mul: float = 0.01
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        x = pixel_norm(z)
+        for i in range(self.n_mlp):
+            x = EqualLinear(self.style_dim, lr_mul=self.lr_mul, activation=True,
+                            name=f"fc{i}")(x)
+        return x
+
+
+def minibatch_stddev(x: jnp.ndarray, group_size: int = 4,
+                     num_new_features: int = 1, eps: float = 1e-8) -> jnp.ndarray:
+    """Append the cross-sample stddev statistic channel
+    (`models/RestoreNet.py:1243-1252`)."""
+    b, h, w, c = x.shape
+    g = min(b, group_size)
+    y = x.reshape(g, -1, h, w, num_new_features, c // num_new_features)
+    y = y - jnp.mean(y, axis=0, keepdims=True)
+    y = jnp.sqrt(jnp.mean(jnp.square(y), axis=0) + eps)   # biased var, as torch var(unbiased=False)
+    y = jnp.mean(y, axis=(1, 2, 4), keepdims=True)        # mean over H,W,C-groups
+    y = jnp.squeeze(y, axis=4)                            # (b/g, 1, 1, F)
+    y = jnp.tile(y, (g, h, w, 1))
+    return jnp.concatenate([x, y], axis=-1)
+
+
+def styles_to_latent(styles: jnp.ndarray, n_latent: int,
+                     inject_index: jnp.ndarray | int | None) -> jnp.ndarray:
+    """Broadcast 1-2 style vectors into a (B, n_latent, D) latent with style
+    mixing (`e4e/models/stylegan2/model.py:487-523`).
+
+    styles: (S, B, D) with S in {1, 2}. For S=2, rows < inject_index take
+    styles[0], the rest styles[1]; inject_index may be traced (sampled on the
+    host per step, `random.randint(1, n_latent-1)`).
+    """
+    if styles.shape[0] == 1:
+        return jnp.repeat(styles[0][:, None, :], n_latent, axis=1)
+    if inject_index is None:
+        inject_index = n_latent // 2
+    idx = jnp.arange(n_latent)[None, :, None]
+    lat0 = jnp.repeat(styles[0][:, None, :], n_latent, axis=1)
+    lat1 = jnp.repeat(styles[1][:, None, :], n_latent, axis=1)
+    return jnp.where(idx < inject_index, lat0, lat1)

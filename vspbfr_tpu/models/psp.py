@@ -1,0 +1,131 @@
+"""pSp facade: frozen style-encoder + frozen StyleGAN2 decoder.
+
+Re-design of `e4e/models/psp.py:73-283` + `Loss/e4e_embedding.py:60-167`.
+Functional style: the facade owns module *definitions* and exposes pure
+functions over explicit param pytrees, so trainers decide differentiability
+by where they put `stop_gradient` (the reference's open/close_decoder_grad
+toggles, `e4e/models/psp.py:107-111`, become a no-stop_gradient code path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vspbfr_tpu.models.e4e import Encoder4Editing, resize_bilinear_align_corners
+from vspbfr_tpu.models.stylegan2 import Generator
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """torch AdaptiveAvgPool2d parity for divisible sizes (1024 -> 512)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    assert h % oh == 0 and w % ow == 0, "adaptive pool needs divisible sizes"
+    x = x.reshape(b, oh, h // oh, ow, w // ow, c)
+    return jnp.mean(x, axis=(2, 4))
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=False) parity
+    (used for the 256 encode resize, `Loss/e4e_embedding.py:88`)."""
+    return jax.image.resize(x, (x.shape[0], *out_hw, x.shape[-1]), "linear")
+
+
+@dataclasses.dataclass
+class PSPFacade:
+    """Holds module defs + frozen params for encoder/decoder/latent_avg.
+
+    out_size: pipeline resolution (512); size: decoder train size (1024).
+    """
+
+    encoder: Encoder4Editing
+    decoder: Generator
+    out_size: int = 512
+    size: int = 1024
+
+    @property
+    def n_latent(self) -> int:
+        return 2 * int(math.log2(self.size)) - 2       # 18
+
+    @property
+    def out_n_latent(self) -> int:
+        return 2 * int(math.log2(self.out_size)) - 2   # 16
+
+    @classmethod
+    def create(cls, out_size: int = 512, size: int = 1024,
+               input_channels: int = 3) -> "PSPFacade":
+        return cls(
+            encoder=Encoder4Editing(stylegan_size=size,
+                                    input_channels=input_channels),
+            decoder=Generator(size=size),
+            out_size=out_size,
+            size=size,
+        )
+
+    def init_params(self, key: jax.Array) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        enc = self.encoder.init(k1, jnp.zeros((1, 256, 256, 3)))["params"]
+        dec = self.decoder.init(
+            {"params": k2, "noise": k3},
+            jnp.zeros((1, self.n_latent, 512)),
+        )["params"]
+        return {
+            "encoder": enc,
+            "decoder": dec,
+            "latent_avg": jnp.zeros((self.n_latent, 512)),
+        }
+
+    def get_w_plus(self, params: dict, img: jnp.ndarray) -> jnp.ndarray:
+        """Image (B, H, W, 3) in [-1,1] -> (B, n_latent, 512) W+ code.
+
+        Bilinear-resize to 256, encode, add latent_avg, slice to n_latent
+        (`Loss/e4e_embedding.py:91-100`, `e4e/models/psp.py:145-165`).
+        Always a stop_gradient boundary (torch.no_grad in the reference).
+        """
+        img = resize_bilinear(img, (256, 256))
+        codes = self.encoder.apply({"params": params["encoder"]}, img)
+        codes = codes + params["latent_avg"][None]
+        return jax.lax.stop_gradient(codes[:, : self.n_latent])
+
+    def decode_with_feats(self, params: dict, codes: jnp.ndarray,
+                          noise_rng: jax.Array | None = None,
+                          noise=None, resize: bool = True):
+        """W+ code -> (image, per-resolution features[:out_n_latent])
+        (`e4e/models/psp.py:235-281`). Differentiability is the caller's
+        choice: wrap with stop_gradient for the frozen-eval path."""
+        rngs = {"noise": noise_rng} if noise_rng is not None else None
+        image, feats = self.decoder.apply(
+            {"params": params["decoder"]}, codes, noise=noise,
+            return_features=True, rngs=rngs)
+        feats = feats[: self.out_n_latent]
+        if resize:
+            image = adaptive_avg_pool(image, (self.out_size, self.out_size))
+        return image, feats
+
+    def decode(self, params: dict, codes: jnp.ndarray,
+               noise_rng: jax.Array | None = None, noise=None,
+               resize: bool = True) -> jnp.ndarray:
+        """W+ code -> image only (get_stylegan_featsV2 return_feat=False)."""
+        rngs = {"noise": noise_rng} if noise_rng is not None else None
+        image, _ = self.decoder.apply(
+            {"params": params["decoder"]}, codes, noise=noise,
+            return_features=False, rngs=rngs)
+        if resize:
+            image = adaptive_avg_pool(image, (self.out_size, self.out_size))
+        return image
+
+    def noise_mapping(self, params: dict, styles: jnp.ndarray,
+                      inject_index=None) -> jnp.ndarray:
+        """z styles (S, B, 512) -> mixed (B, n_latent, 512) w latent via the
+        decoder's style MLP (`e4e/models/psp.py:190-223`)."""
+        from vspbfr_tpu.models.layers import styles_to_latent
+        mapped = jnp.stack([
+            self.decoder.apply({"params": params["decoder"]}, styles[s],
+                               method=Generator.map_latent)
+            for s in range(styles.shape[0])
+        ])
+        return styles_to_latent(mapped, self.n_latent, inject_index)

@@ -79,5 +79,6 @@ def fused_leaky_relu_pallas(x: jnp.ndarray, bias: jnp.ndarray,
             pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((block_n, c), lambda i: (i, 0)),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(xf, bf)
     return out.reshape(x.shape)

@@ -1,0 +1,128 @@
+"""The full restoration pipeline: encode -> diffuse -> decode -> restore.
+
+This is the product path of the reference (`restoration_test.py:87-157`,
+SURVEY.md §3A), composed as one jittable function:
+
+  1. low image -> e4e W+ code           (frozen encoder, 256px)
+  2. 4-step deterministic latent DDPM   (visual style prompt)
+  3. frozen StyleGAN2 decode w/ feature taps (1024px -> pooled out_size)
+  4. RestoreNet(low image, feats, latent, z) -> restored image
+
+Style mixing (`mixing_noise`, `restoration_test.py:68-82`) is expressed
+jit-compatibly: two z vectors are always drawn and an inject_index selects
+between "no mixing" (index = n_latent) and a uniform split — identical in
+distribution to the reference's host-side coin flip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vspbfr_tpu.diffusion import DDPMSchedule, LatentDDPM
+from vspbfr_tpu.models.code_diffuser import CodeDiffuser
+from vspbfr_tpu.models.psp import PSPFacade
+from vspbfr_tpu.models.restorenet import Discriminator, RestorationNet
+
+
+@dataclasses.dataclass
+class RestorationPipeline:
+    """Module bundle + composition logic. Params are passed explicitly:
+    {"psp": {...}, "diffuser": {...}, "generator": {...}}."""
+
+    size: int = 512
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    decoder_size: int = 1024
+    timesteps: int = 4
+    mixing_prob: float = 0.5
+
+    def __post_init__(self):
+        self.psp = PSPFacade.create(out_size=self.size, size=self.decoder_size)
+        self.diffuser = CodeDiffuser(timesteps=self.timesteps)
+        self.generator = RestorationNet(
+            size=self.size, style_dim=self.style_dim, n_mlp=self.n_mlp,
+            channel_multiplier=self.channel_multiplier)
+        self.schedule = DDPMSchedule.linear(
+            timesteps=self.timesteps, linear_start=0.1, linear_end=0.99)
+
+    # -- param init ---------------------------------------------------------
+
+    def init_params(self, key: jax.Array) -> dict[str, Any]:
+        k_psp, k_diff, k_gen, k_noise = jax.random.split(key, 4)
+        psp_params = self.psp.init_params(k_psp)
+        lat = jnp.zeros((1, 18, 512))
+        diff_params = self.diffuser.init(
+            k_diff, lat, lat, jnp.zeros((1,), jnp.int32))["params"]
+        imgs = jnp.zeros((1, self.size, self.size, 3))
+        feats = self._dummy_feats(1)
+        gen_params = self.generator.init(
+            {"params": k_gen, "noise": k_noise},
+            imgs, feats, lat, jnp.zeros((1, 1, 512)))["params"]
+        return {"psp": psp_params, "diffuser": diff_params,
+                "generator": gen_params}
+
+    def _dummy_feats(self, b: int):
+        from vspbfr_tpu.models.stylegan2 import channel_dict
+        ch = channel_dict(self.channel_multiplier)
+        import math
+        n = int(math.log2(self.decoder_size)) - 1
+        return [jnp.zeros((b, 2 ** (f + 2), 2 ** (f + 2), ch[2 ** (f + 2)]))
+                for f in range(n)]
+
+    # -- composition stages -------------------------------------------------
+
+    def ddpm(self, diffuser_params) -> LatentDDPM:
+        def denoise(x, c, t):
+            return self.diffuser.apply({"params": diffuser_params}, x, c, t)
+        return LatentDDPM(denoise, self.schedule)
+
+    def diffuse_latent(self, params, low_latent: jnp.ndarray,
+                       rng: jax.Array, training: bool = False):
+        """Eval: clean latent from pure noise; training: full chain w/ grads."""
+        ddpm = self.ddpm(params["diffuser"])
+        noise = jax.random.normal(rng, low_latent.shape)
+        if training:
+            return ddpm.training_chain(low_latent, low_latent, noise)
+        return ddpm.sample(low_latent, noise)
+
+    def sample_mixing_latent(self, gen_params, rng: jax.Array,
+                             batch: int) -> jnp.ndarray:
+        """Draw the (B, n_latent, 512) mixed noise-style latent."""
+        k_z, k_flip, k_idx = jax.random.split(rng, 3)
+        z = jax.random.normal(k_z, (2, batch, self.style_dim))
+        n_lat = self.generator.n_latent
+        mix = jax.random.bernoulli(k_flip, self.mixing_prob)
+        idx = jnp.where(
+            mix, jax.random.randint(k_idx, (), 1, n_lat), n_lat)
+        return self.generator.apply(
+            {"params": gen_params}, z, idx,
+            method=RestorationNet.map_styles)
+
+    def restore(self, params, low_imgs: jnp.ndarray, rng: jax.Array,
+                gen_params=None, deterministic: bool = True) -> jnp.ndarray:
+        """Full inference path. gen_params overrides params["generator"]
+        (e.g. the EMA copy, `restoration_test.py:239-250`)."""
+        if gen_params is None:
+            gen_params = params["generator"]
+        k_diff, k_mix, k_noise, k_dec = jax.random.split(rng, 4)
+        low_latent = self.psp.get_w_plus(params["psp"], low_imgs)
+        clean_latent = self.diffuse_latent(params, low_latent, k_diff)
+        clean_latent = jax.lax.stop_gradient(clean_latent)
+        _, feats = self.psp.decode_with_feats(
+            params["psp"], clean_latent, noise_rng=k_dec)
+        feats = jax.lax.stop_gradient(feats)
+        noise_latent = self.sample_mixing_latent(gen_params, k_mix,
+                                                 low_imgs.shape[0])
+        return self.generator.apply(
+            {"params": gen_params}, low_imgs, feats, clean_latent,
+            noise_latent, input_is_latent=True, deterministic=deterministic,
+            rngs={"noise": k_noise})
+
+    def make_discriminator(self) -> Discriminator:
+        return Discriminator(size=self.size,
+                             channel_multiplier=self.channel_multiplier)

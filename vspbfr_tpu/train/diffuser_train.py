@@ -1,0 +1,114 @@
+"""Stage-2 trainer: code diffuser training (the `code_diffuser_train.py` CLI).
+
+One jitted step per iteration (`code_diffuser_train.py:152-192`):
+
+  low_latent = E(low); target = E(real) (both frozen encodes)
+  pred_latent, chain = 4-step unrolled reverse diffusion WITH grads, noising
+    the LOW latent to t=T-1 and conditioning on it (`ldm/ddpm.py:408-420`)
+  loss = L1(pred, target)                       <- the only latent term (Q3:
+        the KD-KL is computed for logging but NOT optimized)
+       + 0.1 * LPIPS(decode(pred), real).mean() <- grads THROUGH the frozen
+       + 0.1 * ArcFace-ID(decode(pred), real)      StyleGAN2 decoder
+  Adam(lr*0.8, betas (0, 0.99^0.8)) on diffuser params only.
+
+The reference's open/close_stylegan_grad dance (`code_diffuser_train.py:167,
+191`) is simply "decode without stop_gradient" here — decoder params are not
+in the optimizer, so they never update, but gradients flow through them into
+the latent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vspbfr_tpu.losses import kd_loss
+from vspbfr_tpu.losses.id_loss import ResNet101Embedder, id_loss
+from vspbfr_tpu.losses.lpips import LPIPS
+from vspbfr_tpu.pipeline import RestorationPipeline
+from vspbfr_tpu.train.state import TrainState, make_adam
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffuserTrainConfig:
+    """Defaults = `code_diffuser_train.py:249-273` (+ hardcoded 0.1 weights)."""
+
+    size: int = 256             # eval/decode size
+    batch: int = 16             # per-device
+    lr: float = 0.002
+    reg_every: int = 4          # optimizer ratio only
+    percept_weight: float = 0.1
+    id_weight: float = 0.1
+    kd_temperature: float = 0.15
+    timesteps: int = 4
+
+
+class DiffuserTrainer:
+    def __init__(self, config: DiffuserTrainConfig,
+                 pipeline: RestorationPipeline | None = None):
+        self.cfg = config
+        self.pipe = pipeline or RestorationPipeline(
+            size=config.size, timesteps=config.timesteps)
+        self.lpips = LPIPS()
+        self.id_net = ResNet101Embedder()
+        self.tx = make_adam(config.lr, config.reg_every)
+
+    def init_states(self, key: jax.Array):
+        k_pipe, k_lpips, k_id = jax.random.split(key, 3)
+        params = self.pipe.init_params(k_pipe)
+        lpips_params = self.lpips.init(
+            k_lpips, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))["params"]
+        id_params = self.id_net.init(
+            k_id, jnp.zeros((1, 112, 112, 3)))["params"]
+        state = TrainState.create(params["diffuser"], self.tx)
+        frozen = {"psp": params["psp"], "lpips": lpips_params, "id": id_params}
+        return state, frozen
+
+    def train_step(self, state: TrainState, frozen: Any, low: jnp.ndarray,
+                   real: jnp.ndarray, rng: jax.Array):
+        cfg = self.cfg
+        k_noise, k_dec = jax.random.split(rng)
+        psp = self.pipe.psp
+        low_latent = psp.get_w_plus(frozen["psp"], low)
+        target = psp.get_w_plus(frozen["psp"], real)  # already stop_gradient
+
+        init_noise = jax.random.normal(k_noise, low_latent.shape)
+
+        def loss_fn(diff_params):
+            ddpm = self.pipe.ddpm(diff_params)
+            pred_latent, chain = ddpm.training_chain(
+                low_latent, low_latent, init_noise)
+            kl, l_abs = kd_loss(chain[-1], target, cfg.kd_temperature)
+            loss = l_abs
+            restored = psp.decode(frozen["psp"], pred_latent,
+                                  noise_rng=k_dec)  # grads flow through decoder
+            percept = jnp.mean(self.lpips.apply(
+                {"params": frozen["lpips"]}, restored, real)) * cfg.percept_weight
+            ident = id_loss(self.id_net.apply, frozen["id"], restored,
+                            real) * cfg.id_weight
+            loss = loss + percept + ident
+            return loss, {"l1": l_abs, "kl": kl, "percept": percept,
+                          "id": ident}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads)
+        metrics["loss"] = loss
+        return state, metrics
+
+    def jit_step(self, mesh=None):
+        step = functools.partial(self.train_step)
+        if mesh is None:
+            return jax.jit(step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, data, data, repl),
+            out_shardings=(repl, repl),
+        )

@@ -1,0 +1,190 @@
+"""Stage-3 trainer: GAN restoration training (the `restoration_train.py` CLI).
+
+One jitted, mesh-sharded train step per iteration containing the whole
+reference loop body (`restoration_train.py:153-276`):
+
+  frozen: encode low -> W+ -> 4-step DDPM -> StyleGAN2 feats   (no grads)
+  D step: softplus GAN loss on (real, restored), Adam update
+  R1:     every `d_reg_every` steps, a second D update with
+          r1/2 * ||dD/dx||^2 * d_reg_every (lazy regularization)
+  G step: non-saturating + LPIPS.sum()*percept_w + ArcFace-ID*id_w,
+          fresh mixing noise, same frozen embedding (`:221-249`)
+  EMA:    g_ema <- 0.99779 * g_ema + ... (`:255`)
+
+Data-parallel: params replicated, batch sharded over the mesh "data" axis;
+XLA inserts the gradient all-reduces (replaces DDP/NCCL, SURVEY.md §2.6).
+Loss scalars leave the step already globally averaged (replaces
+reduce_loss_dict).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vspbfr_tpu.losses import d_logistic_loss, g_nonsaturating_loss, r1_penalty
+from vspbfr_tpu.losses.id_loss import ResNet101Embedder, id_loss
+from vspbfr_tpu.losses.lpips import LPIPS
+from vspbfr_tpu.pipeline import RestorationPipeline
+from vspbfr_tpu.train.state import (
+    EMA_DECAY_DEFAULT,
+    TrainState,
+    ema_update,
+    make_adam,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RestoreTrainConfig:
+    """Defaults = `restoration_train.py:310-342` + hardcoded post-parse."""
+
+    size: int = 512
+    batch: int = 4              # per-device
+    lr: float = 0.002
+    r1: float = 10.0
+    d_reg_every: int = 16
+    g_reg_every: int = 4        # only affects optimizer hyperparams (vestigial path reg)
+    percept_weight: float = 0.5
+    id_weight: float = 0.1
+    mixing: float = 0.5
+    ema_decay: float = EMA_DECAY_DEFAULT
+    augment: bool = False       # ADA, off by default (`:330-333`)
+    ada_target: float = 0.6
+    ada_length: int = 500 * 1000
+
+
+class RestoreTrainer:
+    """Bundles the pipeline, D, losses and the jitted step."""
+
+    def __init__(self, config: RestoreTrainConfig,
+                 pipeline: RestorationPipeline | None = None):
+        self.cfg = config
+        self.pipe = pipeline or RestorationPipeline(
+            size=config.size, mixing_prob=config.mixing)
+        self.disc = self.pipe.make_discriminator()
+        self.lpips = LPIPS()
+        self.id_net = ResNet101Embedder()
+        self.g_tx = make_adam(config.lr, config.g_reg_every)
+        self.d_tx = make_adam(config.lr, config.d_reg_every)
+
+    # -- init ---------------------------------------------------------------
+
+    def init_states(self, key: jax.Array):
+        k_pipe, k_d, k_lpips, k_id = jax.random.split(key, 4)
+        params = self.pipe.init_params(k_pipe)
+        d_params = self.disc.init(
+            k_d, jnp.zeros((1, self.cfg.size, self.cfg.size, 3)))["params"]
+        lpips_params = self.lpips.init(
+            k_lpips, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))["params"]
+        id_params = self.id_net.init(
+            k_id, jnp.zeros((1, 112, 112, 3)))["params"]
+        g_state = TrainState.create(params["generator"], self.g_tx)
+        d_state = TrainState.create(d_params, self.d_tx)
+        frozen = {"psp": params["psp"], "diffuser": params["diffuser"],
+                  "lpips": lpips_params, "id": id_params}
+        return g_state, d_state, params["generator"], frozen  # g_ema = copy
+
+    # -- step ---------------------------------------------------------------
+
+    def _frozen_embedding(self, frozen, low, rng):
+        """Shared per-iteration embedding (`restoration_train.py:166-172`)."""
+        k_diff, k_dec = jax.random.split(rng)
+        pipe_params = {"psp": frozen["psp"], "diffuser": frozen["diffuser"]}
+        low_latent = self.pipe.psp.get_w_plus(frozen["psp"], low)
+        clean = self.pipe.diffuse_latent(pipe_params, low_latent, k_diff)
+        _, feats = self.pipe.psp.decode_with_feats(frozen["psp"], clean,
+                                                   noise_rng=k_dec)
+        return (jax.lax.stop_gradient(clean),
+                jax.lax.stop_gradient(feats))
+
+    def _generate(self, g_params, low, feats, clean, rng,
+                  deterministic=False):
+        k_mix, k_noise, k_drop = jax.random.split(rng, 3)
+        noise_latent = self.pipe.sample_mixing_latent(g_params, k_mix,
+                                                      low.shape[0])
+        return self.pipe.generator.apply(
+            {"params": g_params}, low, feats, clean, noise_latent,
+            input_is_latent=True, deterministic=deterministic,
+            rngs={"noise": k_noise, "dropout": k_drop})
+
+    def train_step(self, g_state: TrainState, d_state: TrainState,
+                   g_ema: Any, frozen: Any, low: jnp.ndarray,
+                   real: jnp.ndarray, rng: jax.Array):
+        cfg = self.cfg
+        k_embed, k_gen_d, k_gen_g, k_step = jax.random.split(rng, 4)
+        clean, feats = self._frozen_embedding(frozen, low, k_embed)
+
+        # ---- D step (`restoration_train.py:164-194`)
+        fake_d = jax.lax.stop_gradient(
+            self._generate(g_state.params, low, feats, clean, k_gen_d))
+
+        def d_loss_fn(d_params):
+            real_pred = self.disc.apply({"params": d_params}, real)
+            fake_pred = self.disc.apply({"params": d_params}, fake_d)
+            loss = d_logistic_loss(real_pred, fake_pred)
+            return loss, (jnp.mean(real_pred), jnp.mean(fake_pred))
+
+        (d_loss, (real_score, fake_score)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_state.params)
+        d_state = d_state.apply_gradients(d_grads)
+
+        # ---- lazy R1 (`restoration_train.py:200-216`), second D update
+        def r1_update(d_state):
+            def r1_loss_fn(d_params):
+                pen = r1_penalty(
+                    lambda x: self.disc.apply({"params": d_params}, x), real)
+                return cfg.r1 / 2.0 * pen * cfg.d_reg_every, pen
+
+            (_, pen), grads = jax.value_and_grad(r1_loss_fn, has_aux=True)(
+                d_state.params)
+            return d_state.apply_gradients(grads), pen
+
+        do_r1 = (g_state.step % cfg.d_reg_every) == 0
+        d_state, r1_val = jax.lax.cond(
+            do_r1, r1_update,
+            lambda s: (s, jnp.zeros(())), d_state)
+
+        # ---- G step (`restoration_train.py:221-249`)
+        def g_loss_fn(g_params):
+            fake = self._generate(g_params, low, feats, clean, k_gen_g)
+            fake_pred = self.disc.apply({"params": d_state.params}, fake)
+            gan = g_nonsaturating_loss(fake_pred)
+            percept = jnp.sum(self.lpips.apply(
+                {"params": frozen["lpips"]}, fake, real)) * cfg.percept_weight
+            ident = id_loss(self.id_net.apply, frozen["id"], fake,
+                            real) * cfg.id_weight
+            return gan + percept + ident, (gan, percept, ident)
+
+        (g_loss, (gan_l, percept_l, id_l)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_state.params)
+        g_state = g_state.apply_gradients(g_grads)
+
+        g_ema = ema_update(g_ema, g_state.params, cfg.ema_decay)
+
+        metrics = {
+            "d": d_loss, "g": g_loss, "gan": gan_l, "percept": percept_l,
+            "id": id_l, "r1": r1_val, "real_score": real_score,
+            "fake_score": fake_score,
+        }
+        return g_state, d_state, g_ema, metrics
+
+    # -- jit/sharding -------------------------------------------------------
+
+    def jit_step(self, mesh=None):
+        """Jit the step; with a mesh, shard (low, real) on the data axis and
+        replicate states (XLA then all-reduces grads over ICI)."""
+        step = functools.partial(self.train_step)
+        if mesh is None:
+            return jax.jit(step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, repl, repl, data, data, repl),
+            out_shardings=(repl, repl, repl, repl),
+        )

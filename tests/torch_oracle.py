@@ -108,6 +108,9 @@ def install_op_stub():
     sys.modules["op.conv2d_gradfix"] = gradfix
     sys.modules["op.fused_act"] = fused_act
     sys.modules["op.upfirdn2d"] = upfirdn_mod
+    # the e4e copy takes a CPU branch importing *_cpu module names
+    sys.modules["op.fused_act_cpu"] = fused_act
+    sys.modules["op.upfirdn2d_cpu"] = upfirdn_mod
 
 
 def add_reference_path():

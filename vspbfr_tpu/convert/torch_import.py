@@ -56,10 +56,14 @@ def sub_state_dict(sd: Mapping[str, np.ndarray], prefix: str) -> dict[str, np.nd
 def fit_tensor(arr: np.ndarray, shape: tuple[int, ...], key: str) -> np.ndarray:
     """Fit a torch tensor to a flax leaf shape via the known layout maps."""
     arr = np.asarray(arr)
+    if arr.ndim == 2:
+        # torch linear weights are (out, in); flax kernels (in, out). Always
+        # transpose — a square matrix would "fit" untransposed otherwise.
+        if arr.T.shape == tuple(shape):
+            return arr.T
+        raise ValueError(f"2D shape mismatch {arr.shape} vs {shape} for {key}")
     if arr.shape == tuple(shape):
         return arr
-    if arr.ndim == 2 and arr.T.shape == tuple(shape):          # linear
-        return arr.T
     if arr.ndim == 4:
         oihw = arr.transpose(2, 3, 1, 0)                        # conv OIHW->HWIO
         if oihw.shape == tuple(shape):
@@ -361,19 +365,53 @@ def _lpips_key(names: tuple[str, ...]) -> str:
 # public converters
 # --------------------------------------------------------------------------
 
+def _nchw_flat_in(w: np.ndarray, c: int, h: int, wd: int) -> np.ndarray:
+    """Linear weight whose INPUT was a torch NCHW flatten -> reorder for the
+    NHWC flatten used here. w: torch (out, c*h*w) -> flax (h*w*c, out)."""
+    out = w.shape[0]
+    return w.reshape(out, c, h, wd).transpose(0, 2, 3, 1).reshape(out, -1).T
+
+
+def _nchw_flat_out(w: np.ndarray, b: np.ndarray, c: int, h: int, wd: int):
+    """Linear whose OUTPUT is reshaped to torch (B,C,H,W); here (B,H,W,C)."""
+    w2 = w.reshape(c, h, wd, -1).transpose(1, 2, 0, 3).reshape(c * h * wd, -1)
+    b2 = b.reshape(c, h, wd).transpose(1, 2, 0).reshape(-1)
+    return w2.T, b2
+
+
 def convert_stylegan2_generator(flax_params, sd):
     return convert_tree(flax_params, sd, _generator_key)
 
 
 def convert_restoration_net(flax_params, sd):
-    return convert_tree(flax_params, sd, _restorenet_key)
+    params = convert_tree(flax_params, sd, _restorenet_key)
+    # encoder head crosses a flatten boundary (`models/RestoreNet.py:937-941`):
+    # final_linear consumes the NCHW-flattened 4x4 map, final_transfer's
+    # output is viewed back to (B, C, 4, 4)
+    ch4 = params["final_transfer"]["bias"].shape[0] // 16
+    params["final_linear"]["weight"] = _nchw_flat_in(
+        np.asarray(sd["final_linear.0.weight"]), ch4, 4, 4
+    ).astype(params["final_linear"]["weight"].dtype)
+    w2, b2 = _nchw_flat_out(np.asarray(sd["final_transfer.weight"]),
+                            np.asarray(sd["final_transfer.bias"]), ch4, 4, 4)
+    params["final_transfer"]["weight"] = w2.astype(
+        params["final_transfer"]["weight"].dtype)
+    params["final_transfer"]["bias"] = b2.astype(
+        params["final_transfer"]["bias"].dtype)
+    return params
 
 
 def convert_discriminator(flax_params, sd, size: int = 512):
     import math
     log_size = int(math.log2(size))
-    return convert_tree(flax_params, sd,
-                        lambda n: _discriminator_key(n, log_size))
+    params = convert_tree(flax_params, sd,
+                          lambda n: _discriminator_key(n, log_size))
+    # final_linear.0 consumes the NCHW-flattened 4x4 map (`models/RestoreNet.py:1259-1262`)
+    ch4 = params["final_linear0"]["bias"].shape[0]
+    params["final_linear0"]["weight"] = _nchw_flat_in(
+        np.asarray(sd["final_linear.0.weight"]), ch4, 4, 4
+    ).astype(params["final_linear0"]["weight"].dtype)
+    return params
 
 
 def convert_e4e_encoder(flax_params, sd):

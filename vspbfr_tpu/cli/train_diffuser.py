@@ -1,0 +1,105 @@
+"""Stage-2 code-diffuser training CLI (the `code_diffuser_train.py` driver).
+
+Flags mirror `code_diffuser_train.py:249-273`; loop body is one jitted
+mesh-sharded step (vspbfr_tpu.train.diffuser_train). Supports the debug
+400-image subset (`code_diffuser_train.py:369-371`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from vspbfr_tpu.data import DataLoader, RestoreTrainDataset
+from vspbfr_tpu.parallel import DataParallel, create_mesh
+from vspbfr_tpu.pipeline import RestorationPipeline
+from vspbfr_tpu.train.diffuser_train import DiffuserTrainConfig, DiffuserTrainer
+from vspbfr_tpu.utils import Logger, load_checkpoint, save_checkpoint
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--path", type=str, required=True)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--iter", type=int, default=200_000)
+    p.add_argument("--batch", type=int, default=16, help="per-device batch")
+    p.add_argument("--lr", type=float, default=0.002)
+    p.add_argument("--percept_loss_weight", type=float, default=0.1)
+    p.add_argument("--id_loss_weight", type=float, default=0.1)
+    p.add_argument("--timesteps", type=int, default=4)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--psp_ckpt", type=str, default=None)
+    p.add_argument("--out", type=str, default="diffuser_out")
+    p.add_argument("--save_inter", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug", action="store_true",
+                   help="400-image subset + short intervals")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.debug:
+        args.save_inter = 20
+
+    cfg = DiffuserTrainConfig(
+        size=args.size, batch=args.batch, lr=args.lr,
+        percept_weight=args.percept_loss_weight,
+        id_weight=args.id_loss_weight, timesteps=args.timesteps)
+    pipe = RestorationPipeline(size=args.size, timesteps=args.timesteps)
+    trainer = DiffuserTrainer(cfg, pipe)
+
+    mesh = create_mesh()
+    dp = DataParallel(mesh)
+    global_batch = args.batch * dp.n_devices
+
+    state, frozen = jax.jit(trainer.init_states)(jax.random.key(args.seed))
+    start_iter = 0
+    if args.ckpt:
+        ck = load_checkpoint(args.ckpt)
+        state = state.replace(params=ck["diffuser"],
+                              opt_state=state.tx.init(ck["diffuser"]))
+        start_iter = int(ck.get("iter", 0))
+    if args.psp_ckpt:
+        frozen = {**frozen, "psp": load_checkpoint(args.psp_ckpt)}
+
+    state, frozen = dp.replicate((state, frozen))
+    step = trainer.jit_step(mesh)
+
+    # stage-2 dataset: single degraded copy, uint8-round-tripped GT
+    ds = RestoreTrainDataset(args.path, im_size=(args.size, args.size),
+                             n_degraded=1, quantize_gt=True, seed=args.seed,
+                             subset=400 if args.debug else None)
+    loader = DataLoader(ds, global_batch, seed=args.seed,
+                        shard_index=jax.process_index(),
+                        shard_count=jax.process_count())
+    logger = Logger(args.out)
+    ckpt_dir = os.path.join(args.out, "checkpoint", "code_diffuser")
+
+    key = jax.random.key(args.seed + 1)
+    it = start_iter
+    for batch in loader.forever():
+        if it >= args.iter:
+            break
+        lq, gt = batch
+        lq, gt = dp.shard_batch((jnp.asarray(lq), jnp.asarray(gt)))
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, frozen, lq, gt, sub)
+        it += 1
+        if it % 10 == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.log(it, m)
+            if it % 100 == 0:
+                print(f"[{it}] " + " ".join(f"{k}:{v:.4f}" for k, v in m.items()))
+        if it % args.save_inter == 0:
+            save_checkpoint(ckpt_dir, {
+                "diffuser": jax.device_get(state.params),
+                "iter": it,
+            })
+
+
+if __name__ == "__main__":
+    main()

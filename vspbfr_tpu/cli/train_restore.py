@@ -1,0 +1,133 @@
+"""Stage-3 restoration GAN training CLI (the `restoration_train.py` driver).
+
+Flags mirror `restoration_train.py:310-342`; the loop body lives in one
+jitted mesh-sharded step (vspbfr_tpu.train.restore_train). Checkpoints are
+orbax dirs written every --save_inter steps, overwriting a fixed name like
+the reference (`checkpoint/a_restore_model.pt` -> <out>/checkpoint/restore).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vspbfr_tpu.data import DataLoader, RestoreTrainDataset
+from vspbfr_tpu.losses.ada import ADAState
+from vspbfr_tpu.parallel import DataParallel, create_mesh
+from vspbfr_tpu.pipeline import RestorationPipeline
+from vspbfr_tpu.train.restore_train import RestoreTrainConfig, RestoreTrainer
+from vspbfr_tpu.utils import Logger, load_checkpoint, save_checkpoint
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--path", type=str, required=True, help="training images")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--iter", type=int, default=500_000)
+    p.add_argument("--batch", type=int, default=4, help="per-device batch")
+    p.add_argument("--lr", type=float, default=0.002)
+    p.add_argument("--r1", type=float, default=10.0)
+    p.add_argument("--d_reg_every", type=int, default=16)
+    p.add_argument("--g_reg_every", type=int, default=4)
+    p.add_argument("--mixing", type=float, default=0.5)
+    p.add_argument("--percept_loss_weight", type=float, default=0.5)
+    p.add_argument("--id_loss_weight", type=float, default=0.1)
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--ada_target", type=float, default=0.6)
+    p.add_argument("--ada_length", type=int, default=500 * 1000)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--psp_ckpt", type=str, default=None,
+                   help="converted style_encoder_decoder params (orbax)")
+    p.add_argument("--diffuser_ckpt", type=str, default=None)
+    p.add_argument("--out", type=str, default="train_out")
+    p.add_argument("--save_inter", type=int, default=500)
+    p.add_argument("--show_inter", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug", action="store_true")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.debug:
+        args.save_inter, args.show_inter = 20, 200
+
+    cfg = RestoreTrainConfig(
+        size=args.size, batch=args.batch, lr=args.lr, r1=args.r1,
+        d_reg_every=args.d_reg_every, g_reg_every=args.g_reg_every,
+        percept_weight=args.percept_loss_weight,
+        id_weight=args.id_loss_weight, mixing=args.mixing,
+        augment=args.augment, ada_target=args.ada_target,
+        ada_length=args.ada_length)
+    pipe = RestorationPipeline(size=args.size, mixing_prob=args.mixing)
+    trainer = RestoreTrainer(cfg, pipe)
+
+    mesh = create_mesh()
+    dp = DataParallel(mesh)
+    n_dev = dp.n_devices
+    global_batch = args.batch * n_dev
+    print(f"devices={n_dev} global_batch={global_batch}")
+
+    g_state, d_state, g_ema, frozen = jax.jit(trainer.init_states)(
+        jax.random.key(args.seed))
+    start_iter = 0
+    if args.ckpt:
+        ck = load_checkpoint(args.ckpt)
+        g_state = g_state.replace(params=ck["g"], opt_state=g_state.tx.init(ck["g"]))
+        d_state = d_state.replace(params=ck["d"], opt_state=d_state.tx.init(ck["d"]))
+        g_ema = ck["g_ema"]
+        start_iter = int(ck.get("iter", 0))
+    if args.psp_ckpt:
+        frozen = {**frozen, "psp": load_checkpoint(args.psp_ckpt)}
+    if args.diffuser_ckpt:
+        frozen = {**frozen,
+                  "diffuser": load_checkpoint(args.diffuser_ckpt)["diffuser"]}
+
+    g_state, d_state, g_ema, frozen = dp.replicate(
+        (g_state, d_state, g_ema, frozen))
+    ada_state = dp.replicate(ADAState.create()) if args.augment else None
+
+    step = trainer.jit_step(mesh)
+    ds = RestoreTrainDataset(args.path, im_size=(args.size, args.size),
+                             n_degraded=2, seed=args.seed)
+    loader = DataLoader(ds, global_batch, seed=args.seed,
+                        shard_index=jax.process_index(),
+                        shard_count=jax.process_count())
+    logger = Logger(args.out)
+    ckpt_dir = os.path.join(args.out, "checkpoint", "restore")
+
+    key = jax.random.key(args.seed + 1)
+    it = start_iter
+    for batch in loader.forever():
+        if it >= args.iter:
+            break
+        lq1, _, gt = batch
+        lq1, gt = dp.shard_batch((jnp.asarray(lq1), jnp.asarray(gt)))
+        key, sub = jax.random.split(key)
+        if args.augment:
+            g_state, d_state, g_ema, metrics, ada_state = step(
+                g_state, d_state, g_ema, frozen, lq1, gt, sub, ada_state)
+        else:
+            g_state, d_state, g_ema, metrics = step(
+                g_state, d_state, g_ema, frozen, lq1, gt, sub)
+        it += 1
+        if it % 10 == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.log(it, m)
+            if it % 100 == 0:
+                print(f"[{it}] " + " ".join(f"{k}:{v:.4f}" for k, v in m.items()))
+        if it % args.save_inter == 0:
+            save_checkpoint(ckpt_dir, {
+                "g": jax.device_get(g_state.params),
+                "d": jax.device_get(d_state.params),
+                "g_ema": jax.device_get(g_ema),
+                "iter": it,
+            })
+
+
+if __name__ == "__main__":
+    main()

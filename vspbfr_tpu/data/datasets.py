@@ -144,7 +144,8 @@ class RestoreTestDataset:
     def __len__(self):
         return len(self.lq_files)
 
-    def sample(self, idx: int):
+    def sample(self, idx: int, epoch: int = 0):
+        del epoch  # eval sets are epoch-independent
         def load(path):
             img = _resize_crop(_load_rgb(path), self.im_size, None)
             return np.asarray(img, dtype=np.float32) / 127.5 - 1.0
@@ -207,7 +208,11 @@ class DataLoader:
             for b in range(worker_id, nb, self.num_workers):
                 if stop.is_set():
                     return
-                q.put((b, batch_of(b)))
+                try:
+                    q.put((b, batch_of(b)))
+                except BaseException as e:  # propagate instead of deadlocking
+                    q.put((b, e))
+                    return
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
@@ -220,14 +225,19 @@ class DataLoader:
             while nxt < nb:
                 while nxt not in pending and received < nb:
                     b, data = q.get()
+                    if isinstance(data, BaseException):
+                        raise data
                     pending[b] = data
                     received += 1
                 yield pending.pop(nxt)
                 nxt += 1
         finally:
             stop.set()
+            # drain so producer threads blocked on a full queue can exit
+            while not q.empty():
+                q.get_nowait()
             for t in threads:
-                t.join(timeout=0.1)
+                t.join(timeout=1.0)
 
     def forever(self, start_epoch: int = 0) -> Iterator[tuple[np.ndarray, ...]]:
         """Endless stream (`sample_data` loop, `restoration_test.py:60-63`)."""

@@ -60,10 +60,12 @@ class DiffuserTrainer:
     def init_states(self, key: jax.Array):
         k_pipe, k_lpips, k_id = jax.random.split(key, 3)
         params = self.pipe.init_params(k_pipe)
-        lpips_params = self.lpips.init(
-            k_lpips, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))["params"]
-        id_params = self.id_net.init(
+        lpips_params = (self.lpips.init(
+            k_lpips, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+            ["params"] if self.cfg.percept_weight > 0 else {})
+        id_params = (self.id_net.init(
             k_id, jnp.zeros((1, 112, 112, 3)))["params"]
+            if self.cfg.id_weight > 0 else {})
         state = TrainState.create(params["diffuser"], self.tx)
         frozen = {"psp": params["psp"], "lpips": lpips_params, "id": id_params}
         return state, frozen
@@ -84,12 +86,18 @@ class DiffuserTrainer:
                 low_latent, low_latent, init_noise)
             kl, l_abs = kd_loss(chain[-1], target, cfg.kd_temperature)
             loss = l_abs
-            restored = psp.decode(frozen["psp"], pred_latent,
-                                  noise_rng=k_dec)  # grads flow through decoder
-            percept = jnp.mean(self.lpips.apply(
-                {"params": frozen["lpips"]}, restored, real)) * cfg.percept_weight
-            ident = id_loss(self.id_net.apply, frozen["id"], restored,
-                            real) * cfg.id_weight
+            percept = ident = jnp.zeros(())
+            # weight>0 gates match `code_diffuser_train.py:177,:182`
+            if cfg.percept_weight > 0 or cfg.id_weight > 0:
+                restored = psp.decode(frozen["psp"], pred_latent,
+                                      noise_rng=k_dec)  # grads flow through decoder
+            if cfg.percept_weight > 0:
+                percept = jnp.mean(self.lpips.apply(
+                    {"params": frozen["lpips"]}, restored,
+                    real)) * cfg.percept_weight
+            if cfg.id_weight > 0:
+                ident = id_loss(self.id_net.apply, frozen["id"], restored,
+                                real) * cfg.id_weight
             loss = loss + percept + ident
             return loss, {"l1": l_abs, "kl": kl, "percept": percept,
                           "id": ident}

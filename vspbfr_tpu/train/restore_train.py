@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from vspbfr_tpu.losses import d_logistic_loss, g_nonsaturating_loss, r1_penalty
+from vspbfr_tpu.losses.ada import ADAState, ada_update, augment
 from vspbfr_tpu.losses.id_loss import ResNet101Embedder, id_loss
 from vspbfr_tpu.losses.lpips import LPIPS
 from vspbfr_tpu.pipeline import RestorationPipeline
@@ -78,10 +79,12 @@ class RestoreTrainer:
         params = self.pipe.init_params(k_pipe)
         d_params = self.disc.init(
             k_d, jnp.zeros((1, self.cfg.size, self.cfg.size, 3)))["params"]
-        lpips_params = self.lpips.init(
-            k_lpips, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))["params"]
-        id_params = self.id_net.init(
+        lpips_params = (self.lpips.init(
+            k_lpips, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+            ["params"] if self.cfg.percept_weight > 0 else {})
+        id_params = (self.id_net.init(
             k_id, jnp.zeros((1, 112, 112, 3)))["params"]
+            if self.cfg.id_weight > 0 else {})
         g_state = TrainState.create(params["generator"], self.g_tx)
         d_state = TrainState.create(d_params, self.d_tx)
         frozen = {"psp": params["psp"], "diffuser": params["diffuser"],
@@ -113,30 +116,50 @@ class RestoreTrainer:
 
     def train_step(self, g_state: TrainState, d_state: TrainState,
                    g_ema: Any, frozen: Any, low: jnp.ndarray,
-                   real: jnp.ndarray, rng: jax.Array):
+                   real: jnp.ndarray, rng: jax.Array,
+                   ada_state: ADAState | None = None):
         cfg = self.cfg
-        k_embed, k_gen_d, k_gen_g, k_step = jax.random.split(rng, 4)
+        (k_embed, k_gen_d, k_gen_g, k_aug_r, k_aug_f,
+         k_aug_g) = jax.random.split(rng, 6)
         clean, feats = self._frozen_embedding(frozen, low, k_embed)
 
         # ---- D step (`restoration_train.py:164-194`)
         fake_d = jax.lax.stop_gradient(
             self._generate(g_state.params, low, feats, clean, k_gen_d))
 
+        # optional ADA (`restoration_train.py:175-181`)
+        real_d = real
+        if cfg.augment and ada_state is not None:
+            real_d = augment(k_aug_r, real, ada_state.p)
+            fake_d = augment(k_aug_f, fake_d, ada_state.p)
+
         def d_loss_fn(d_params):
-            real_pred = self.disc.apply({"params": d_params}, real)
+            real_pred = self.disc.apply({"params": d_params}, real_d)
             fake_pred = self.disc.apply({"params": d_params}, fake_d)
             loss = d_logistic_loss(real_pred, fake_pred)
-            return loss, (jnp.mean(real_pred), jnp.mean(fake_pred))
+            return loss, (real_pred, jnp.mean(fake_pred))
 
-        (d_loss, (real_score, fake_score)), d_grads = jax.value_and_grad(
+        (d_loss, (real_pred, fake_score)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(d_state.params)
+        real_score = jnp.mean(real_pred)
         d_state = d_state.apply_gradients(d_grads)
 
-        # ---- lazy R1 (`restoration_train.py:200-216`), second D update
+        # ---- ADA p controller, fed by the pre-update real_pred
+        # (`restoration_train.py:196-198`)
+        if cfg.augment and ada_state is not None:
+            ada_state = ada_update(ada_state, real_pred,
+                                   target=cfg.ada_target,
+                                   ada_length=cfg.ada_length)
+
+        # ---- lazy R1 (`restoration_train.py:200-216`), second D update;
+        # gradient flows through the augment chain into the raw image
         def r1_update(d_state):
             def r1_loss_fn(d_params):
-                pen = r1_penalty(
-                    lambda x: self.disc.apply({"params": d_params}, x), real)
+                def d_fn(x):
+                    if cfg.augment and ada_state is not None:
+                        x = augment(k_aug_r, x, ada_state.p)
+                    return self.disc.apply({"params": d_params}, x)
+                pen = r1_penalty(d_fn, real)
                 return cfg.r1 / 2.0 * pen * cfg.d_reg_every, pen
 
             (_, pen), grads = jax.value_and_grad(r1_loss_fn, has_aux=True)(
@@ -148,15 +171,24 @@ class RestoreTrainer:
             do_r1, r1_update,
             lambda s: (s, jnp.zeros(())), d_state)
 
-        # ---- G step (`restoration_train.py:221-249`)
+        # ---- G step (`restoration_train.py:221-249`); the loss-net terms
+        # are gated by weight > 0 exactly like the reference flags
+        # (`restoration_train.py:236-245`) — weight 0 removes the whole
+        # subgraph from the compiled program
         def g_loss_fn(g_params):
             fake = self._generate(g_params, low, feats, clean, k_gen_g)
-            fake_pred = self.disc.apply({"params": d_state.params}, fake)
+            fake_for_d = fake
+            if cfg.augment and ada_state is not None:
+                fake_for_d = augment(k_aug_g, fake, ada_state.p)
+            fake_pred = self.disc.apply({"params": d_state.params}, fake_for_d)
             gan = g_nonsaturating_loss(fake_pred)
-            percept = jnp.sum(self.lpips.apply(
-                {"params": frozen["lpips"]}, fake, real)) * cfg.percept_weight
-            ident = id_loss(self.id_net.apply, frozen["id"], fake,
-                            real) * cfg.id_weight
+            percept = ident = jnp.zeros(())
+            if cfg.percept_weight > 0:
+                percept = jnp.sum(self.lpips.apply(
+                    {"params": frozen["lpips"]}, fake, real)) * cfg.percept_weight
+            if cfg.id_weight > 0:
+                ident = id_loss(self.id_net.apply, frozen["id"], fake,
+                                real) * cfg.id_weight
             return gan + percept + ident, (gan, percept, ident)
 
         (g_loss, (gan_l, percept_l, id_l)), g_grads = jax.value_and_grad(
@@ -170,6 +202,9 @@ class RestoreTrainer:
             "id": id_l, "r1": r1_val, "real_score": real_score,
             "fake_score": fake_score,
         }
+        if cfg.augment and ada_state is not None:
+            metrics["ada_p"] = ada_state.p
+            return g_state, d_state, g_ema, metrics, ada_state
         return g_state, d_state, g_ema, metrics
 
     # -- jit/sharding -------------------------------------------------------
@@ -183,8 +218,10 @@ class RestoreTrainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        n_out = 5 if self.cfg.augment else 4
         return jax.jit(
             step,
-            in_shardings=(repl, repl, repl, repl, data, data, repl),
-            out_shardings=(repl, repl, repl, repl),
+            in_shardings=(repl, repl, repl, repl, data, data, repl) +
+                         ((repl,) if self.cfg.augment else ()),
+            out_shardings=(repl,) * n_out,
         )

@@ -38,17 +38,28 @@ def main() -> None:
     low = jax.random.uniform(jax.random.key(1), (BATCH, 512, 512, 3),
                              minval=-1.0, maxval=1.0)
 
+    def flush(x):
+        """Force completion: on the tunneled TPU platform block_until_ready
+        does not actually block, so read back a scalar reduction."""
+        import numpy as np
+        return float(np.asarray(jnp.sum(x)))
+
+    def run(n_iters, img):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            # chain: feed the output back in so iterations cannot overlap
+            img = restore(params, img, jax.random.key(100 + i))
+        flush(img)
+        return time.perf_counter() - t0
+
     for i in range(WARMUP):
-        out = restore(params, low, jax.random.key(i))
-    jax.block_until_ready(out)
+        flush(restore(params, low, jax.random.key(i)))
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = restore(params, low, jax.random.key(100 + i))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    t_short = run(2, low)
+    t_long = run(2 + ITERS, low)
+    dt = (t_long - t_short) / ITERS  # fixed readback latency cancels
 
-    imgs_per_sec = BATCH * ITERS / dt
+    imgs_per_sec = BATCH / dt
     print(json.dumps({
         "metric": "restore_512px_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 3),

@@ -126,3 +126,18 @@ def test_loader_sharding(img_dir):
     n1 = [n for b in l1.epoch(0) for n in b[1]]
     assert not (set(n0) & set(n1))
     assert len(n0) + len(n1) == 8
+
+
+def test_native_degrade_engine(rng):
+    native = pytest.importorskip("vspbfr_tpu.data.native")
+    if not native.available():
+        pytest.skip("native degrade library not built")
+    gt = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    seeds = np.asarray([1, 2], np.uint64)
+    out = native.degrade_batch(gt, seeds)
+    assert out.shape == gt.shape
+    assert np.array_equal(out, native.degrade_batch(gt, seeds))
+    assert np.abs(out - gt).mean() > 1e-3
+    # uint8 quantization grid like the python path
+    back = out * 255.0
+    np.testing.assert_allclose(back, np.round(back), atol=1e-3)

@@ -85,6 +85,7 @@ class RestoreTrainDataset:
     config: DegradationConfig = dataclasses.field(default_factory=DegradationConfig)
     seed: int = 0
     subset: int | None = None  # debug N-image subset (`code_diffuser_train.py:369-371`)
+    use_native: bool = True    # C++ engine when built and config is default
 
     def __post_init__(self):
         self.files = list_images(self.root)
@@ -92,6 +93,16 @@ class RestoreTrainDataset:
             raise FileNotFoundError(f"no images under {self.root}")
         if self.subset:
             self.files = self.files[: self.subset]
+        from vspbfr_tpu.data import native as _native
+        self._native = (_native if self.use_native and _native.available()
+                        and self.config == DegradationConfig() else None)
+
+    def _degrade(self, rng: np.random.Generator, gt: np.ndarray) -> np.ndarray:
+        if self._native is not None:
+            seed = rng.integers(0, np.iinfo(np.uint64).max, dtype=np.uint64)
+            return self._native.degrade_batch(
+                gt[None], np.asarray([seed], np.uint64), n_threads=1)[0]
+        return degrade_image(rng, gt, self.config)
 
     def __len__(self):
         return len(self.files)
@@ -106,7 +117,7 @@ class RestoreTrainDataset:
         img = _resize_crop(img, self.im_size, rng)
         gt = np.asarray(img, dtype=np.float32) / 255.0
 
-        lqs = [degrade_image(rng, gt, self.config) for _ in range(self.n_degraded)]
+        lqs = [self._degrade(rng, gt) for _ in range(self.n_degraded)]
 
         if self.gray_prob and rng.uniform() < self.gray_prob:
             def to_gray(x):

@@ -40,6 +40,7 @@ class RestorationPipeline:
     decoder_size: int = 1024
     timesteps: int = 4
     mixing_prob: float = 0.5
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU-rate inference
 
     def __post_init__(self):
         self.psp = PSPFacade.create(out_size=self.size, size=self.decoder_size)
@@ -94,7 +95,8 @@ class RestorationPipeline:
                              batch: int) -> jnp.ndarray:
         """Draw the (B, n_latent, 512) mixed noise-style latent."""
         k_z, k_flip, k_idx = jax.random.split(rng, 3)
-        z = jax.random.normal(k_z, (2, batch, self.style_dim))
+        z = jax.random.normal(k_z, (2, batch, self.style_dim),
+                              self.compute_dtype or jnp.float32)
         n_lat = self.generator.n_latent
         mix = jax.random.bernoulli(k_flip, self.mixing_prob)
         idx = jnp.where(
@@ -103,12 +105,30 @@ class RestorationPipeline:
             {"params": gen_params}, z, idx,
             method=RestorationNet.map_styles)
 
+    def _cast(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        dt = self.compute_dtype
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+
     def restore(self, params, low_imgs: jnp.ndarray, rng: jax.Array,
                 gen_params=None, deterministic: bool = True) -> jnp.ndarray:
         """Full inference path. gen_params overrides params["generator"]
-        (e.g. the EMA copy, `restoration_test.py:239-250`)."""
+        (e.g. the EMA copy, `restoration_test.py:239-250`).
+
+        With compute_dtype set (bf16), params and activations are cast for
+        the whole pipeline and the output is returned in float32.
+        """
         if gen_params is None:
             gen_params = params["generator"]
+        out_dtype = low_imgs.dtype
+        if self.compute_dtype is not None:
+            params = self._cast(params)
+            gen_params = self._cast(gen_params)
+            low_imgs = low_imgs.astype(self.compute_dtype)
         k_diff, k_mix, k_noise, k_dec = jax.random.split(rng, 4)
         low_latent = self.psp.get_w_plus(params["psp"], low_imgs)
         clean_latent = self.diffuse_latent(params, low_latent, k_diff)
@@ -118,10 +138,11 @@ class RestorationPipeline:
         feats = jax.lax.stop_gradient(feats)
         noise_latent = self.sample_mixing_latent(gen_params, k_mix,
                                                  low_imgs.shape[0])
-        return self.generator.apply(
+        out = self.generator.apply(
             {"params": gen_params}, low_imgs, feats, clean_latent,
             noise_latent, input_is_latent=True, deterministic=deterministic,
             rngs={"noise": k_noise})
+        return out.astype(out_dtype)
 
     def make_discriminator(self) -> Discriminator:
         return Discriminator(size=self.size,

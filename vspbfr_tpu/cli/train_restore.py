@@ -21,6 +21,7 @@ from vspbfr_tpu.parallel import DataParallel, create_mesh
 from vspbfr_tpu.pipeline import RestorationPipeline
 from vspbfr_tpu.train.restore_train import RestoreTrainConfig, RestoreTrainer
 from vspbfr_tpu.utils import Logger, load_checkpoint, save_checkpoint
+from vspbfr_tpu.utils.images import save_image_grid
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -92,6 +93,7 @@ def main(argv=None) -> None:
     ada_state = dp.replicate(ADAState.create()) if args.augment else None
 
     step = trainer.jit_step(mesh)
+    sample_fn = jax.jit(lambda p, low, rng: pipe.restore(p, low, rng))
     ds = RestoreTrainDataset(args.path, im_size=(args.size, args.size),
                              n_degraded=2, seed=args.seed)
     loader = DataLoader(ds, global_batch, seed=args.seed,
@@ -120,6 +122,18 @@ def main(argv=None) -> None:
             logger.log(it, m)
             if it % 100 == 0:
                 print(f"[{it}] " + " ".join(f"{k}:{v:.4f}" for k, v in m.items()))
+        if it % args.show_inter == 0:
+            # visual checkpoint with the EMA generator
+            # (`restoration_train.py:278-288`)
+            sample = sample_fn(
+                {"psp": frozen["psp"], "diffuser": frozen["diffuser"],
+                 "generator": g_ema},
+                lq1[:4], jax.random.key(it))
+            os.makedirs(os.path.join(args.out, "samples"), exist_ok=True)
+            save_image_grid(
+                os.path.join(args.out, "samples", f"{it:06d}.png"),
+                [np.asarray(lq1[:4]), np.asarray(sample),
+                 np.asarray(gt[:4])])
         if it % args.save_inter == 0:
             save_checkpoint(ckpt_dir, {
                 "g": jax.device_get(g_state.params),

@@ -380,6 +380,12 @@ def minibatch_stddev(x: jnp.ndarray, group_size: int = 4,
     return jnp.concatenate([x, y], axis=-1)
 
 
+def truncate_styles(styles: jnp.ndarray, truncation: float,
+                    truncation_latent: jnp.ndarray) -> jnp.ndarray:
+    """w <- t_lat + trunc * (w - t_lat) (`e4e/models/stylegan2/model.py:498-506`)."""
+    return truncation_latent + truncation * (styles - truncation_latent)
+
+
 def styles_to_latent(styles: jnp.ndarray, n_latent: int,
                      inject_index: jnp.ndarray | int | None) -> jnp.ndarray:
     """Broadcast 1-2 style vectors into a (B, n_latent, D) latent with style

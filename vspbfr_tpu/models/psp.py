@@ -118,6 +118,14 @@ class PSPFacade:
             image = adaptive_avg_pool(image, (self.out_size, self.out_size))
         return image
 
+    def mean_latent(self, params: dict, key: jax.Array,
+                    n_samples: int = 4096) -> jnp.ndarray:
+        """Average mapped w over random z (`e4e/models/psp.py:186-196`)."""
+        z = jax.random.normal(key, (n_samples, 512))
+        w = self.decoder.apply({"params": params["decoder"]}, z,
+                               method=Generator.map_latent)
+        return jnp.mean(w, axis=0, keepdims=True)
+
     def noise_mapping(self, params: dict, styles: jnp.ndarray,
                       inject_index=None) -> jnp.ndarray:
         """z styles (S, B, 512) -> mixed (B, n_latent, 512) w latent via the

@@ -33,7 +33,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding=0,
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     return jax.lax.conv_general_dilated(
-        x, w,
+        x, w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         rhs_dilation=(dilation, dilation),
@@ -56,7 +56,7 @@ def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
     ph = dilation * (kh - 1) - padding
     pw = dilation * (kw - 1) - padding
     return jax.lax.conv_general_dilated(
-        x, wf,
+        x, wf.astype(x.dtype),
         window_strides=(1, 1),
         padding=((ph, ph), (pw, pw)),
         lhs_dilation=(stride, stride),

@@ -86,7 +86,7 @@ class RestorationPipeline:
                        rng: jax.Array, training: bool = False):
         """Eval: clean latent from pure noise; training: full chain w/ grads."""
         ddpm = self.ddpm(params["diffuser"])
-        noise = jax.random.normal(rng, low_latent.shape)
+        noise = jax.random.normal(rng, low_latent.shape, low_latent.dtype)
         if training:
             return ddpm.training_chain(low_latent, low_latent, noise)
         return ddpm.sample(low_latent, noise)

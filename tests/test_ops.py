@@ -191,3 +191,22 @@ def test_modulated_conv_up_matches_torch_reference(rng):
               pad=(pad0, pad1), upsample_factor=2)
     ref = np.asarray(ob) * dcoefs.numpy()[:, None, None, :]
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("c", [3, 64])
+@pytest.mark.parametrize(
+    "up,down,gain,pad",
+    [(1, 1, 1.0, (2, 1)), (2, 1, 4.0, (2, 1)), (1, 2, 1.0, (1, 1))],
+)
+def test_upfirdn2d_separable_matches_dense(rng, c, up, down, gain, pad):
+    """Both separable forms (matmul for small C, 1D convs otherwise) must
+    equal the dense 2D path with kernel gain applied."""
+    from vspbfr_tpu.ops.upfirdn2d import upfirdn2d_separable
+    taps = (1, 3, 3, 1)
+    x = rng.standard_normal((2, 12, 10, c)).astype(np.float32)
+    out = np.asarray(upfirdn2d_separable(jnp.asarray(x), taps, up, down, pad,
+                                         gain=gain))
+    k2d = np.asarray(make_resample_kernel(list(taps))) * gain
+    ref = upfirdn2d_ref(x, k2d, up, down, pad)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -150,6 +150,9 @@ class Encoder4Editing(nn.Module):
 
     stylegan_size: int = 1024
     input_channels: int = 3  # opts.input_channel
+    # ProgressiveStage (`psp_encoders.py:12-31`): number of active deltas;
+    # None = Inference (all style_count-1 deltas)
+    progressive_stage: int | None = None
 
     @property
     def style_count(self) -> int:
@@ -197,7 +200,9 @@ class Encoder4Editing(nn.Module):
         deltas = [jnp.zeros_like(w0)]
         features = c3
         p2 = None
-        for i in range(1, self.style_count):
+        stage = (self.style_count if self.progressive_stage is None
+                 else self.progressive_stage)
+        for i in range(1, min(stage + 1, self.style_count)):
             if i == self.COARSE_IND:
                 p2 = resize_bilinear_align_corners(c3, c2.shape[1:3]) + lat1(c2)
                 features = p2
@@ -205,6 +210,8 @@ class Encoder4Editing(nn.Module):
                 p1 = resize_bilinear_align_corners(p2, c1.shape[1:3]) + lat2(c1)
                 features = p1
             deltas.append(styles[i](features))
+        while len(deltas) < self.style_count:  # inactive progressive deltas
+            deltas.append(jnp.zeros_like(w0))
 
         w = w0[:, None, :] + jnp.stack(deltas, axis=1)  # (B, style_count, 512)
         if return_feats:

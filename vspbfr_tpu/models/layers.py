@@ -139,8 +139,8 @@ class Blur(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        k = make_resample_kernel(list(self.kernel))
-        return _blur(x, k, pad=self.pad, upsample_factor=self.upsample_factor)
+        return _blur(x, tuple(self.kernel), pad=self.pad,
+                     upsample_factor=self.upsample_factor)
 
 
 class ModulatedConv2d(nn.Module):
@@ -163,14 +163,13 @@ class ModulatedConv2d(nn.Module):
             style = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
         w = self.param("weight", _normal_init(),
                        (self.kernel_size, self.kernel_size, c_in, self.features))
-        bk = make_resample_kernel(list(self.blur_kernel))
         return modulated_conv2d(
             x, w, style,
             demodulate=self.demodulate,
             up=self.upsample,
             down=self.downsample,
             dilation=self.dilation,
-            blur_kernel=bk,
+            blur_kernel=tuple(self.blur_kernel),
         )
 
 
@@ -217,8 +216,7 @@ class ToRGB(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.out_features,))
         out = out + b.reshape(1, 1, 1, -1)
         if skip is not None:
-            k = make_resample_kernel(list(self.blur_kernel))
-            out = out + upsample2d(skip, k)
+            out = out + upsample2d(skip, tuple(self.blur_kernel))
         return out
 
 

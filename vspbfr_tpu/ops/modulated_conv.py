@@ -112,13 +112,15 @@ def modulated_conv2d(
         out = conv_transpose2d(xs, ws, stride=2, padding=0, dilation=dilation)
         if blur_kernel is not None:
             factor = 2
-            p = (blur_kernel.shape[0] - factor) - (k - 1) * dilation
+            klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]
+            p = (klen - factor) - (k - 1) * dilation
             pad0 = (p + 1) // 2 + factor - 1
             pad1 = p // 2 + 1
             out = _blur(out, blur_kernel, pad=(pad0, pad1), upsample_factor=factor)
     elif down:
         factor = 2
-        p = (blur_kernel.shape[0] - factor) + (k - 1)
+        klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]
+        p = (klen - factor) + (k - 1)
         pad0 = (p + 1) // 2
         pad1 = p // 2
         xs = _blur(xs, blur_kernel, pad=(pad0, pad1))

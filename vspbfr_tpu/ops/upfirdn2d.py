@@ -51,6 +51,86 @@ def _normalize_pad(pad) -> tuple[int, int, int, int]:
     raise ValueError(f"pad must have 2 or 4 elements, got {pad}")
 
 
+def _resample_matrix(n_in: int, taps: tuple, up: int, down: int,
+                     pad0: int, pad1: int) -> np.ndarray:
+    """(n_out, n_in) banded matrix applying one axis of upfirdn:
+    out[o] = sum_t flip(taps)[t] * padded_upsampled[o*down + t]."""
+    k = len(taps)
+    n_out = (n_in * up + pad0 + pad1 - k) // down + 1
+    o = np.arange(n_out)[:, None]
+    t = np.arange(k)[None, :]
+    j = o * down + t - pad0
+    src = j // up
+    valid = (j >= 0) & (j % up == 0) & (src >= 0) & (src < n_in)
+    m = np.zeros((n_out, n_in), np.float32)
+    kf = np.asarray(taps, np.float64)[::-1]
+    np.add.at(m, (np.broadcast_to(o, j.shape)[valid],
+                  np.clip(src, 0, n_in - 1)[valid]),
+              np.broadcast_to(kf, j.shape)[valid])
+    return m
+
+
+def _upfir_1d(x, taps: tuple, axis: str, up: int, down: int, pad):
+    """One separable pass as a 1D depthwise conv (channel lanes)."""
+    c = x.shape[-1]
+    k = len(taps)
+    kf = jnp.asarray(taps[::-1], jnp.float32)
+    if axis == "y":
+        kf = jnp.tile(kf.reshape(k, 1, 1, 1), (1, 1, 1, c))
+        strides, lhs_d = (down, 1), (up, 1)
+        padding = ((pad[0], pad[1] + up - 1), (0, 0))
+    else:
+        kf = jnp.tile(kf.reshape(1, k, 1, 1), (1, 1, 1, c))
+        strides, lhs_d = (1, down), (1, up)
+        padding = ((0, 0), (pad[0], pad[1] + up - 1))
+    return jax.lax.conv_general_dilated(
+        x, kf, window_strides=strides, padding=padding, lhs_dilation=lhs_d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+# Channel threshold below which the matmul form wins (lane utilization):
+# depthwise conv with C<32 wastes most of the 128-lane registers, while two
+# dense (n_out, n_in) matmuls run on the MXU regardless of C.
+_MATMUL_C_MAX = 16
+
+
+def upfirdn2d_separable(x: jnp.ndarray, taps, up: int = 1, down: int = 1,
+                        pad=(0, 0), gain: float = 1.0) -> jnp.ndarray:
+    """upfirdn with a static separable kernel outer(taps, taps)/sum(taps)^2.
+
+    Two TPU-friendly execution forms, chosen at trace time:
+      * C <= 16 (the RGB/skip chain): per-axis banded matrices contracted on
+        the MXU (`_resample_matrix`) — the depthwise form would use 3/128
+        lanes.
+      * otherwise: two separable 1D depthwise convs (4 taps each vs 16 for
+        the 2D form).
+
+    gain multiplies the kernel (the reference's factor**2 for upsampling,
+    applied as sqrt per axis).
+    """
+    taps = tuple(float(t) for t in taps)
+    s = sum(taps)
+    axis_gain = (gain ** 0.5)
+    t1 = tuple(t / s * axis_gain for t in taps)
+    px0, px1, py0, py1 = _normalize_pad(pad)
+    b, h, w, c = x.shape
+    if c <= _MATMUL_C_MAX:
+        mv = jnp.asarray(_resample_matrix(h, t1, up, down, py0, py1))
+        mh = jnp.asarray(_resample_matrix(w, t1, up, down, px0, px1))
+        xf = x.astype(jnp.float32)
+        out = jnp.einsum("oh,bhwc->bowc", mv, xf,
+                         precision=jax.lax.Precision.HIGHEST)
+        out = jnp.einsum("ow,bhwc->bhoc", mh, out,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.astype(x.dtype)
+    # large C: one fused 2D depthwise conv beats two 1D passes (each pass
+    # re-reads the activation from HBM; measured on v5e)
+    kernel2d = make_resample_kernel(list(taps)) * gain
+    return upfirdn2d(x, kernel2d, up=up, down=down,
+                     pad=(px0, px1, py0, py1))
+
+
 @functools.partial(jax.jit, static_argnames=("up", "down", "pad"))
 def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
               pad=(0, 0)) -> jnp.ndarray:
@@ -95,8 +175,23 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
     return out.astype(x.dtype)
 
 
-def upsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """2x (or factor-x) upsample with FIR smoothing (`models/RestoreNet.py:43-60`)."""
+def _is_static_taps(kernel) -> bool:
+    return isinstance(kernel, (tuple, list)) or (
+        isinstance(kernel, np.ndarray) and kernel.ndim == 1)
+
+
+def upsample2d(x: jnp.ndarray, kernel, factor: int = 2) -> jnp.ndarray:
+    """2x (or factor-x) upsample with FIR smoothing (`models/RestoreNet.py:43-60`).
+
+    kernel: static 1D taps (fast separable/matmul path) or a 2D jnp kernel.
+    """
+    if _is_static_taps(kernel):
+        k = len(kernel)
+        p = k - factor
+        pad0 = (p + 1) // 2 + factor - 1
+        pad1 = p // 2
+        return upfirdn2d_separable(x, kernel, up=factor, down=1,
+                                   pad=(pad0, pad1), gain=float(factor ** 2))
     kernel = kernel * (factor ** 2)
     p = kernel.shape[0] - factor
     pad0 = (p + 1) // 2 + factor - 1
@@ -104,17 +199,24 @@ def upsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndar
     return upfirdn2d(x, kernel, up=factor, down=1, pad=(pad0, pad1))
 
 
-def downsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+def downsample2d(x: jnp.ndarray, kernel, factor: int = 2) -> jnp.ndarray:
     """FIR anti-aliased downsample (`models/RestoreNet.py:63-81`)."""
+    if _is_static_taps(kernel):
+        p = len(kernel) - factor
+        return upfirdn2d_separable(x, kernel, up=1, down=factor,
+                                   pad=((p + 1) // 2, p // 2))
     p = kernel.shape[0] - factor
     pad0 = (p + 1) // 2
     pad1 = p // 2
     return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1))
 
 
-def blur(x: jnp.ndarray, kernel: jnp.ndarray, pad: tuple[int, int],
+def blur(x: jnp.ndarray, kernel, pad: tuple[int, int],
          upsample_factor: int = 1) -> jnp.ndarray:
     """Plain FIR blur with explicit pad (`models/RestoreNet.py:84-101`)."""
+    if _is_static_taps(kernel):
+        return upfirdn2d_separable(x, kernel, pad=pad,
+                                   gain=float(upsample_factor ** 2))
     if upsample_factor > 1:
         kernel = kernel * (upsample_factor ** 2)
     return upfirdn2d(x, kernel, pad=pad)

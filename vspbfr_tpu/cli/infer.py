@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--decoder_size", type=int, default=1024,
+                   help="frozen StyleGAN2 decoder resolution")
     p.add_argument("--debug", action="store_true",
                    help="truncate each dataset to 10 batches")
     p.add_argument("--save_images", action="store_true", default=True)
@@ -47,8 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from vspbfr_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
-    pipe = RestorationPipeline(size=args.size)
+    pipe = RestorationPipeline(size=args.size,
+                               decoder_size=args.decoder_size)
     if args.ckpt:
         params = load_checkpoint(args.ckpt)
         params = params.get("params", params)

@@ -35,12 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, default="diffuser_out")
     p.add_argument("--save_inter", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--decoder_size", type=int, default=1024,
+                   help="frozen StyleGAN2 decoder resolution")
     p.add_argument("--debug", action="store_true",
                    help="400-image subset + short intervals")
     return p
 
 
 def main(argv=None) -> None:
+    from vspbfr_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.debug:
         args.save_inter = 20
@@ -49,7 +53,8 @@ def main(argv=None) -> None:
         size=args.size, batch=args.batch, lr=args.lr,
         percept_weight=args.percept_loss_weight,
         id_weight=args.id_loss_weight, timesteps=args.timesteps)
-    pipe = RestorationPipeline(size=args.size, timesteps=args.timesteps)
+    pipe = RestorationPipeline(size=args.size, timesteps=args.timesteps,
+                               decoder_size=args.decoder_size)
     trainer = DiffuserTrainer(cfg, pipe)
 
     mesh = create_mesh()

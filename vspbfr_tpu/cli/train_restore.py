@@ -48,11 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_inter", type=int, default=500)
     p.add_argument("--show_inter", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--decoder_size", type=int, default=1024,
+                   help="frozen StyleGAN2 decoder resolution")
     p.add_argument("--debug", action="store_true")
     return p
 
 
 def main(argv=None) -> None:
+    from vspbfr_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.debug:
         args.save_inter, args.show_inter = 20, 200
@@ -64,7 +68,8 @@ def main(argv=None) -> None:
         id_weight=args.id_loss_weight, mixing=args.mixing,
         augment=args.augment, ada_target=args.ada_target,
         ada_length=args.ada_length)
-    pipe = RestorationPipeline(size=args.size, mixing_prob=args.mixing)
+    pipe = RestorationPipeline(size=args.size, mixing_prob=args.mixing,
+                               decoder_size=args.decoder_size)
     trainer = RestoreTrainer(cfg, pipe)
 
     mesh = create_mesh()

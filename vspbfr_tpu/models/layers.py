@@ -282,7 +282,11 @@ class SMARTLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
-                 noise: jnp.ndarray | None = None) -> jnp.ndarray:
+                 noise: jnp.ndarray | None = None,
+                 return_intermediates: bool = False):
+        """return_intermediates=True additionally returns the per-dilation
+        branch outputs + the final tensor (`forward_vis`,
+        `models/RestoreNet.py:246-268`)."""
         c_in = x.shape[-1]
         mod = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
         branch = self.features // len(self.rates)
@@ -303,6 +307,8 @@ class SMARTLayer(nn.Module):
         out = NoiseInjection(name="noise")(out, noise)
         if self.activate:
             out = FusedLeakyReLU(self.features, name="activate")(out)
+        if return_intermediates:
+            return out, outs + [out]
         return out
 
 

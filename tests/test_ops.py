@@ -210,3 +210,48 @@ def test_upfirdn2d_separable_matches_dense(rng, c, up, down, gain, pad):
     ref = upfirdn2d_ref(x, k2d, up, down, pad)
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("pad", [(-3, -3), (0, 0), (1, 0), (-1, 2)])
+def test_upfirdn2d_separable_negative_pads(rng, pad):
+    """SMART up-blurs at dilation 4/8 produce negative blur pads."""
+    from vspbfr_tpu.ops.upfirdn2d import upfirdn2d_separable
+    taps = (1, 3, 3, 1)
+    x = rng.standard_normal((2, 16, 14, 64)).astype(np.float32)
+    out = np.asarray(upfirdn2d_separable(jnp.asarray(x), taps, 1, 1, pad,
+                                         gain=4.0))
+    ref = upfirdn2d_ref(x, np.asarray(make_resample_kernel(list(taps))) * 4.0,
+                        1, 1, pad)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [2, 3, 4, 6])
+def test_conv_transpose2d_subpixel_all_kernel_sizes(rng, k):
+    """Even kernel sizes exercise the parity-swap in the phase decomposition
+    (the fused up-conv-blur composes a 6x6 kernel)."""
+    torch = pytest.importorskip("torch")
+    from vspbfr_tpu.ops.modulated_conv import _conv_transpose2d_subpixel
+    x = rng.standard_normal((1, 5, 5, 2)).astype(np.float32)
+    w = rng.standard_normal((k, k, 2, 3)).astype(np.float32)
+    out = np.asarray(_conv_transpose2d_subpixel(jnp.asarray(x), jnp.asarray(w)))
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(w.transpose(2, 3, 0, 1)), stride=2,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_up_conv_blur_matches_two_pass(rng):
+    """The composed-kernel fused path == conv_transpose + blur two-pass."""
+    from vspbfr_tpu.ops.modulated_conv import (_fused_up_conv_blur,
+                                               conv_transpose2d)
+    from vspbfr_tpu.ops.upfirdn2d import blur as blur_fn
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 5)).astype(np.float32))
+    taps = (1, 3, 3, 1)
+    two = conv_transpose2d(x, w, stride=2, padding=0)
+    k2d = np.asarray(make_resample_kernel(list(taps))) * 4.0
+    two = blur_fn(two, jnp.asarray(k2d), pad=(1, 1))
+    fused = _fused_up_conv_blur(x, w, taps)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(two),
+                               rtol=1e-4, atol=1e-5)

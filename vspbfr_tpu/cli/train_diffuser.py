@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from vspbfr_tpu.data import DataLoader, RestoreTrainDataset
 from vspbfr_tpu.parallel import DataParallel, create_mesh
+from vspbfr_tpu.parallel.mesh import maybe_initialize_distributed
 from vspbfr_tpu.pipeline import RestorationPipeline
 from vspbfr_tpu.train.diffuser_train import DiffuserTrainConfig, DiffuserTrainer
 from vspbfr_tpu.utils import Logger, load_checkpoint, save_checkpoint
@@ -57,6 +58,7 @@ def main(argv=None) -> None:
                                decoder_size=args.decoder_size)
     trainer = DiffuserTrainer(cfg, pipe)
 
+    maybe_initialize_distributed()
     mesh = create_mesh()
     dp = DataParallel(mesh)
     global_batch = args.batch * dp.n_devices

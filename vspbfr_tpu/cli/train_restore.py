@@ -18,6 +18,7 @@ import numpy as np
 from vspbfr_tpu.data import DataLoader, RestoreTrainDataset
 from vspbfr_tpu.losses.ada import ADAState
 from vspbfr_tpu.parallel import DataParallel, create_mesh
+from vspbfr_tpu.parallel.mesh import maybe_initialize_distributed
 from vspbfr_tpu.pipeline import RestorationPipeline
 from vspbfr_tpu.train.restore_train import RestoreTrainConfig, RestoreTrainer
 from vspbfr_tpu.utils import Logger, load_checkpoint, save_checkpoint
@@ -72,6 +73,7 @@ def main(argv=None) -> None:
                                decoder_size=args.decoder_size)
     trainer = RestoreTrainer(cfg, pipe)
 
+    maybe_initialize_distributed()
     mesh = create_mesh()
     dp = DataParallel(mesh)
     n_dev = dp.n_devices

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vspbfr_tpu.ops.upfirdn2d import blur as _blur
 
@@ -46,12 +47,16 @@ def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
                      padding: int = 0, dilation: int = 1) -> jnp.ndarray:
     """torch-semantics conv_transpose2d for HWIO weight (I=c_in, O=c_out).
 
-    out_size = (in-1)*stride - 2*padding + dilation*(k-1) + 1, implemented as
-    an lhs-dilated convolution with a spatially flipped kernel.
+    out_size = (in-1)*stride - 2*padding + dilation*(k-1) + 1. The generic
+    form is an lhs-dilated convolution with a spatially flipped kernel, but
+    XLA's TPU lowering of lhs-dilated convs materializes 4x-padded
+    intermediates (measured 3-5x slower + OOM risk), so the hot case
+    (stride 2, dilation 1 — every StyleGAN2 up-conv) uses a subpixel phase
+    decomposition: 4 small dense convs interleaved by depth-to-space.
     """
     kh, kw = w.shape[0], w.shape[1]
-    # Transposed conv == lhs-dilated direct conv with the spatially flipped
-    # kernel; the contraction stays over c_in, which is already HWIO's I axis.
+    if stride == 2 and dilation == 1 and padding == 0:
+        return _conv_transpose2d_subpixel(x, w)
     wf = jnp.flip(w, (0, 1))
     ph = dilation * (kh - 1) - padding
     pw = dilation * (kw - 1) - padding
@@ -63,6 +68,94 @@ def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=_DN,
     )
+
+
+def _conv_transpose2d_subpixel(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """stride-2 transposed conv via per-phase convs + interleave.
+
+    out[2m+a, 2n+b] = sum_{s,t} Wf[a+2s, b+2t] x[m-s, n-t] with Wf the
+    spatially flipped kernel; each (a, b) phase is a plain <=2x2 dense conv.
+    """
+    b_, hgt, wid, c_in = x.shape
+    kh, kw, _, c_out = w.shape
+    w = w.astype(x.dtype)
+    oh = (hgt - 1) * 2 + kh
+    ow = (wid - 1) * 2 + kw
+
+    phases = []
+    for a in range(2):
+        row = []
+        for bph in range(2):
+            # out[2m+a] = sum_s W[2s+a] x[m-s]: phase kernel = the UNFLIPPED
+            # weight subsampled at parity a, then spatially reversed for the
+            # correlation form (flip-then-subsample swaps parities for even k)
+            wp = jnp.flip(w[a::2, bph::2], (0, 1))     # (<=ceil(k/2)^2, cin, cout)
+            sy, sx = wp.shape[0], wp.shape[1]
+            # output index m reads x[m - s]: left-pad by (sy-1)
+            out = jax.lax.conv_general_dilated(
+                x, wp, window_strides=(1, 1),
+                padding=((sy - 1, sy - 1), (sx - 1, sx - 1)),
+                dimension_numbers=_DN)
+            row.append(out)
+        phases.append(row)
+
+    # each phase output has shape (b, hgt + sy - 1, wid + sx - 1, cout);
+    # unify to (b, H, W, cout) with H = hgt + n_ph_y - 1
+    Hp = hgt + (kh + 1) // 2 - 1
+    Wp = wid + (kw + 1) // 2 - 1
+    unif = [[p[:, :Hp, :Wp, :] if p.shape[1] >= Hp and p.shape[2] >= Wp
+             else jnp.pad(p, ((0, 0), (0, Hp - p.shape[1]),
+                              (0, Wp - p.shape[2]), (0, 0)))
+             for p in row] for row in phases]
+    # interleave y then x
+    rows = [jnp.stack([unif[0][bph], unif[1][bph]], axis=2)
+            .reshape(b_, 2 * Hp, Wp, c_out) for bph in range(2)]
+    out = jnp.stack(rows, axis=3).reshape(b_, 2 * Hp, 2 * Wp, c_out)
+    return out[:, :oh, :ow, :]
+
+
+def _fused_up_conv_blur(x: jnp.ndarray, w: jnp.ndarray,
+                        taps: tuple) -> jnp.ndarray:
+    """Fused StyleGAN2 up-path: conv_transpose(stride 2) + FIR blur as ONE
+    subpixel transposed conv with the composed kernel.
+
+    1D derivation: y[j] = sum_i x[i] * D[j - pad0 + (lk-1) - 2i] where
+    D = correlate(W, flip(K)) has length k + lk - 1 and K carries the blur
+    gain factor^2 and normalization; the reference pad arithmetic
+    (`models/RestoreNet.py:297-303`) fixes the output window to exactly
+    2x the input size. Avoids both the lhs-dilated conv and the depthwise
+    blur (XLA lowers each pathologically on TPU).
+    """
+    b, h, wd, c_in = x.shape
+    k = w.shape[0]
+    lk = len(taps)
+    factor = 2
+    # blur kernel with gain, normalized (Blur: make_kernel * factor**2)
+    t = np.asarray(taps, np.float64)
+    k2d = np.outer(t, t)
+    k2d = k2d / k2d.sum() * factor ** 2
+    # D[n] = sum_u W[n - (lk-1) + u] * Kf[u], Kf = flip(K)
+    # == 2D full correlation of W with flip(K) == convolution of W with K
+    kc = jnp.asarray(k2d, w.dtype)
+    wj = jnp.transpose(w, (2, 3, 0, 1)).reshape(-1, k, k)[..., None]  # (ci*co, k, k, 1)
+    d = jax.lax.conv_general_dilated(
+        wj, jnp.flip(kc)[..., None, None],
+        window_strides=(1, 1), padding=((lk - 1, lk - 1), (lk - 1, lk - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (ci*co, k+lk-1, k+lk-1, 1)
+    dk = k + lk - 1
+    d = d.reshape(c_in, w.shape[3], dk, dk).transpose(2, 3, 0, 1)  # HWIO
+
+    t6 = _conv_transpose2d_subpixel(x, d)  # length 2(h-1) + dk
+    # blur pads: p = (lk-factor) - (k-1); pad0 = (p+1)//2 + 1; the composed
+    # output window is t6[pad0 ... pad0 + 2h)
+    p = (lk - factor) - (k - 1)
+    pad0 = (p + 1) // 2 + factor - 1
+    off = (lk - 1) - pad0
+    return jax.lax.slice(t6, (0, off, off, 0),
+                         (b, off + factor * h, off + factor * wd,
+                          t6.shape[3]))
 
 
 def demod_coeffs(w: jnp.ndarray, style: jnp.ndarray, scale: float,
@@ -109,14 +202,20 @@ def modulated_conv2d(
     ws = scale * w
 
     if up:
-        out = conv_transpose2d(xs, ws, stride=2, padding=0, dilation=dilation)
-        if blur_kernel is not None:
-            factor = 2
-            klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]
-            p = (klen - factor) - (k - 1) * dilation
-            pad0 = (p + 1) // 2 + factor - 1
-            pad1 = p // 2 + 1
-            out = _blur(out, blur_kernel, pad=(pad0, pad1), upsample_factor=factor)
+        if (dilation == 1 and blur_kernel is not None
+                and isinstance(blur_kernel, (tuple, list))):
+            out = _fused_up_conv_blur(xs, ws, tuple(blur_kernel))
+        else:
+            out = conv_transpose2d(xs, ws, stride=2, padding=0,
+                                   dilation=dilation)
+            if blur_kernel is not None:
+                factor = 2
+                klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]
+                p = (klen - factor) - (k - 1) * dilation
+                pad0 = (p + 1) // 2 + factor - 1
+                pad1 = p // 2 + 1
+                out = _blur(out, blur_kernel, pad=(pad0, pad1),
+                            upsample_factor=factor)
     elif down:
         factor = 2
         klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]

@@ -70,6 +70,67 @@ def _resample_matrix(n_in: int, taps: tuple, up: int, down: int,
     return m
 
 
+def _fir_axis_stencil(x: jnp.ndarray, taps: tuple, axis: int, up: int,
+                      down: int, pad0: int, pad1: int) -> jnp.ndarray:
+    """One upfirdn axis as shifted adds (+ phase interleave for up=2).
+
+    XLA lowers lhs-dilated depthwise convs into massively padded
+    intermediates on TPU (measured: 4x memory expansion, 0.4 TFLOP/s, OOM at
+    1024^2); this formulation is pure slicing + elementwise math that the
+    VPU streams at bandwidth rate. Supports up in {1,2}, any down, negative
+    pads (crop). taps are applied as true convolution (flipped).
+    """
+    n_in = x.shape[axis]
+    k = len(taps)
+    kf = tuple(taps[::-1])
+    n_out = (n_in * up + pad0 + pad1 - k) // down + 1
+    margin = k + max(0, -min(0, pad0)) + 4
+
+    xp = _pad_axis(x, axis, margin, margin)
+
+    def shifted(start, length, stride=1):
+        return jax.lax.slice_in_dim(xp, start, start + (length - 1) * stride + 1,
+                                    stride=stride, axis=axis)
+
+    if up == 1:
+        out = None
+        for t in range(k):
+            start = -pad0 + margin + t
+            term = kf[t] * shifted(start, n_out, down)
+            out = term if out is None else out + term
+        return out
+
+    assert up == 2 and down == 1, "stencil path covers up<=2, down folded in up==1 branch"
+    # phase c covers output positions j = c + 2*i; tap t contributes when
+    # (j - pad0 + t) is even, reading x[(j - pad0 + t)//2]
+    n_phase = [(n_out - c + 1) // 2 for c in (0, 1)]
+    n_max = max(n_phase)
+    phases = []
+    for c in (0, 1):
+        acc = None
+        for t in range(k):
+            if (c - pad0 + t) % 2 != 0:
+                continue
+            off = (c - pad0 + t) // 2
+            term = kf[t] * shifted(off + margin, n_max)
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros_like(shifted(margin, n_max))
+        phases.append(acc)
+    # interleave: (..., n_max, 2, ...) -> (..., 2*n_max, ...) then trim
+    stacked = jnp.stack(phases, axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n_max
+    out = stacked.reshape(shape)
+    return jax.lax.slice_in_dim(out, 0, n_out, axis=axis)
+
+
+def _pad_axis(x, axis, lo, hi):
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (lo, hi)
+    return jnp.pad(x, pads)
+
+
 def _upfir_1d(x, taps: tuple, axis: str, up: int, down: int, pad):
     """One separable pass as a 1D depthwise conv (channel lanes)."""
     c = x.shape[-1]
@@ -124,8 +185,19 @@ def upfirdn2d_separable(x: jnp.ndarray, taps, up: int = 1, down: int = 1,
         out = jnp.einsum("ow,bhwc->bhoc", mh, out,
                          precision=jax.lax.Precision.HIGHEST)
         return out.astype(x.dtype)
-    # large C: one fused 2D depthwise conv beats two 1D passes (each pass
-    # re-reads the activation from HBM; measured on v5e)
+    if up <= 2 and down <= 2 and not (up == 2 and down == 2):
+        # shift-and-add stencil: avoids XLA's pathological lowering of
+        # (lhs-dilated) depthwise convs (4x padded intermediates, OOM at
+        # 1024^2; see scripts/microbench_blocks.py)
+        if up == 2:
+            out = _fir_axis_stencil(x.astype(jnp.float32), t1, 1, 2, 1,
+                                    py0, py1)
+            out = _fir_axis_stencil(out, t1, 2, 2, 1, px0, px1)
+        else:
+            out = _fir_axis_stencil(x.astype(jnp.float32), t1, 1, 1, down,
+                                    py0, py1)
+            out = _fir_axis_stencil(out, t1, 2, 1, down, px0, px1)
+        return out.astype(x.dtype)
     kernel2d = make_resample_kernel(list(taps)) * gain
     return upfirdn2d(x, kernel2d, up=up, down=down,
                      pad=(px0, px1, py0, py1))

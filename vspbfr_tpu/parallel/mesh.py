@@ -28,6 +28,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host bring-up: replaces the reference's SLURM rank math + NCCL
+    env rendezvous (`restoration_train.py:344-373`). On TPU pods JAX
+    auto-detects everything; elsewhere the standard JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars are honoured. No-op when
+    single-process or already initialized."""
+    import os
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized by the runtime
+
+
 def create_mesh(n_devices: int | None = None, axis: str = "data",
                 devices=None) -> Mesh:
     """1-D data-parallel mesh over all (or the first n) devices."""

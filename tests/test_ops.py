@@ -255,3 +255,19 @@ def test_fused_up_conv_blur_matches_two_pass(rng):
     fused = _fused_up_conv_blur(x, w, taps)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(two),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_blur_strided_conv_matches_two_pass(rng):
+    """Down-path fusion: blur + stride-2 conv == one composed strided conv."""
+    from vspbfr_tpu.ops.modulated_conv import fused_blur_strided_conv
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 5)).astype(np.float32))
+    taps = (1, 3, 3, 1)
+    p = (4 - 2) + (3 - 1)
+    pad = ((p + 1) // 2, p // 2)
+    two = blur(x, taps, pad=pad)
+    two = conv2d(two, w, stride=2, padding=0)
+    fused = fused_blur_strided_conv(x, w, taps, pad, stride=2)
+    assert fused.shape == two.shape
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(two),
+                               rtol=1e-4, atol=1e-5)

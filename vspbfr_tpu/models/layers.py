@@ -89,6 +89,10 @@ class EqualConv2d(nn.Module):
     padding: int = 0
     dilation: int = 1
     use_bias: bool = True
+    # when set, a separable FIR pre-blur with these taps/pads is composed
+    # into the conv kernel (one strided conv instead of blur + conv)
+    pre_blur_taps: tuple | None = None
+    pre_blur_pad: tuple = (0, 0)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -96,8 +100,14 @@ class EqualConv2d(nn.Module):
         w = self.param("weight", _normal_init(),
                        (self.kernel_size, self.kernel_size, c_in, self.features))
         scale = 1.0 / math.sqrt(c_in * self.kernel_size ** 2)
-        out = conv2d(x, w * scale, stride=self.stride, padding=self.padding,
-                     dilation=self.dilation)
+        if self.pre_blur_taps is not None:
+            from vspbfr_tpu.ops.modulated_conv import fused_blur_strided_conv
+            out = fused_blur_strided_conv(x, w * scale, self.pre_blur_taps,
+                                          self.pre_blur_pad,
+                                          stride=self.stride)
+        else:
+            out = conv2d(x, w * scale, stride=self.stride,
+                         padding=self.padding, dilation=self.dilation)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + b.reshape(1, 1, 1, -1)
@@ -235,15 +245,19 @@ class ConvLayer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
         if self.downsample:
+            # blur + stride-2 conv fused into one strided conv with the
+            # composed kernel (removes the depthwise FIR pass)
             factor = 2
             p = (len(self.blur_kernel) - factor) + (k - 1)
-            x = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2), name="blur")(x)
-            stride, padding = 2, 0
+            out = EqualConv2d(self.features, k, stride=2, padding=0,
+                              use_bias=self.use_bias and not self.activate,
+                              pre_blur_taps=tuple(self.blur_kernel),
+                              pre_blur_pad=((p + 1) // 2, p // 2),
+                              name="conv")(x)
         else:
-            stride, padding = 1, k // 2
-        out = EqualConv2d(self.features, k, stride=stride, padding=padding,
-                          use_bias=self.use_bias and not self.activate,
-                          name="conv")(x)
+            out = EqualConv2d(self.features, k, stride=1, padding=k // 2,
+                              use_bias=self.use_bias and not self.activate,
+                              name="conv")(x)
         if self.activate:
             out = FusedLeakyReLU(self.features, use_bias=self.use_bias,
                                  name="activate")(out)

@@ -55,8 +55,6 @@ def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2,
     decomposition: 4 small dense convs interleaved by depth-to-space.
     """
     kh, kw = w.shape[0], w.shape[1]
-    if stride == 2 and dilation == 1 and padding == 0:
-        return _conv_transpose2d_subpixel(x, w)
     wf = jnp.flip(w, (0, 1))
     ph = dilation * (kh - 1) - padding
     pw = dilation * (kw - 1) - padding
@@ -158,6 +156,43 @@ def _fused_up_conv_blur(x: jnp.ndarray, w: jnp.ndarray,
                           t6.shape[3]))
 
 
+def compose_blur_kernel(w: jnp.ndarray, taps: tuple, gain: float = 1.0,
+                        flip_taps: bool = False) -> jnp.ndarray:
+    """Compose a dense HWIO conv kernel with a separable FIR: returns the
+    (k+lk-1)^2 kernel E[m] = sum_u W[m-u] * Kf[u] (full convolution with the
+    flipped normalized taps; flip_taps flips them once more)."""
+    k = w.shape[0]
+    lk = len(taps)
+    t = np.asarray(taps, np.float64)
+    k2d = np.outer(t, t)
+    k2d = k2d / k2d.sum() * gain
+    kc = jnp.asarray(k2d, w.dtype)
+    if flip_taps:
+        kc = jnp.flip(kc)
+    wj = jnp.transpose(w, (2, 3, 0, 1)).reshape(-1, k, k)[..., None]
+    e = jax.lax.conv_general_dilated(
+        wj, kc[..., None, None],
+        window_strides=(1, 1), padding=((lk - 1, lk - 1), (lk - 1, lk - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    dk = k + lk - 1
+    return e.reshape(w.shape[2], w.shape[3], dk, dk).transpose(2, 3, 0, 1)
+
+
+def fused_blur_strided_conv(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
+                            pad: tuple, stride: int = 2,
+                            gain: float = 1.0) -> jnp.ndarray:
+    """blur(x, taps, pad) then conv(w, stride) as ONE strided conv with the
+    composed kernel — removes the depthwise FIR pass entirely (the StyleGAN2
+    down path: `models/RestoreNet.py:398-407`, ConvLayer downsample
+    `:1143-1150`). The blur pads carry over unchanged to the composed conv."""
+    e = compose_blur_kernel(w, taps, gain)
+    return jax.lax.conv_general_dilated(
+        x, e.astype(x.dtype), window_strides=(stride, stride),
+        padding=((pad[0], pad[1]), (pad[0], pad[1])),
+        dimension_numbers=_DN)
+
+
 def demod_coeffs(w: jnp.ndarray, style: jnp.ndarray, scale: float,
                  eps: float = 1e-8) -> jnp.ndarray:
     """Per-(sample, out-channel) demodulation rsqrt(sum((scale*W*s)^2)+eps).
@@ -202,28 +237,31 @@ def modulated_conv2d(
     ws = scale * w
 
     if up:
-        if (dilation == 1 and blur_kernel is not None
-                and isinstance(blur_kernel, (tuple, list))):
-            out = _fused_up_conv_blur(xs, ws, tuple(blur_kernel))
-        else:
-            out = conv_transpose2d(xs, ws, stride=2, padding=0,
-                                   dilation=dilation)
-            if blur_kernel is not None:
-                factor = 2
-                klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]
-                p = (klen - factor) - (k - 1) * dilation
-                pad0 = (p + 1) // 2 + factor - 1
-                pad1 = p // 2 + 1
-                out = _blur(out, blur_kernel, pad=(pad0, pad1),
-                            upsample_factor=factor)
+        # NOTE: a fused composed-kernel subpixel path exists
+        # (_fused_up_conv_blur) but measured slower than lhs-dilation +
+        # stencil blur on v5e until the interleave gets a Pallas kernel.
+        out = conv_transpose2d(xs, ws, stride=2, padding=0,
+                               dilation=dilation)
+        if blur_kernel is not None:
+            factor = 2
+            klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]
+            p = (klen - factor) - (k - 1) * dilation
+            pad0 = (p + 1) // 2 + factor - 1
+            pad1 = p // 2 + 1
+            out = _blur(out, blur_kernel, pad=(pad0, pad1),
+                        upsample_factor=factor)
     elif down:
         factor = 2
         klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]
         p = (klen - factor) + (k - 1)
         pad0 = (p + 1) // 2
         pad1 = p // 2
-        xs = _blur(xs, blur_kernel, pad=(pad0, pad1))
-        out = conv2d(xs, ws, stride=2, padding=0, dilation=dilation)
+        if dilation == 1 and isinstance(blur_kernel, (tuple, list)):
+            out = fused_blur_strided_conv(xs, ws, tuple(blur_kernel),
+                                          (pad0, pad1), stride=2)
+        else:
+            xs = _blur(xs, blur_kernel, pad=(pad0, pad1))
+            out = conv2d(xs, ws, stride=2, padding=0, dilation=dilation)
     else:
         padding = ((k - 1) * dilation) // 2
         out = conv2d(xs, ws, stride=1, padding=padding, dilation=dilation)

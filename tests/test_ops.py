@@ -271,3 +271,14 @@ def test_fused_blur_strided_conv_matches_two_pass(rng):
     assert fused.shape == two.shape
     np.testing.assert_allclose(np.asarray(fused), np.asarray(two),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_d2s_interleave(rng):
+    """Experimental Pallas phase-interleave == XLA stack+reshape
+    (interpret mode on CPU)."""
+    from vspbfr_tpu.ops.pallas_d2s import interleave_2x2, interleave_2x2_xla
+    ps = [jnp.asarray(rng.standard_normal((2, 8, 16, 128)).astype(np.float32))
+          for _ in range(4)]
+    np.testing.assert_allclose(np.asarray(interleave_2x2(*ps)),
+                               np.asarray(interleave_2x2_xla(*ps)),
+                               rtol=0, atol=0)

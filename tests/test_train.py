@@ -104,3 +104,26 @@ def test_id_loss_math():
     diff = id_loss(fake_apply, {}, a, b)
     np.testing.assert_allclose(float(same), 0.0, atol=1e-6)
     np.testing.assert_allclose(float(diff), 1.0, atol=1e-6)
+
+
+def test_restore_gan_step_with_ada(rng):
+    """ADA-enabled step: augment wiring, controller threading, p updates."""
+    from vspbfr_tpu.losses.ada import ADAState
+
+    trainer = RestoreTrainer(
+        RestoreTrainConfig(size=SIZE, batch=2, d_reg_every=2,
+                           id_weight=0.0, percept_weight=0.0,
+                           augment=True, ada_length=16),
+        tiny_pipeline())
+    g_state, d_state, g_ema, frozen = jax.jit(trainer.init_states)(
+        jax.random.key(0))
+    ada = ADAState.create()
+    low = jnp.asarray(rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32))
+    real = jnp.asarray(rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32))
+    step = trainer.jit_step()
+    for i in range(2):
+        g_state, d_state, g_ema, metrics, ada = step(
+            g_state, d_state, g_ema, frozen, low, real, jax.random.key(i),
+            ada)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    assert float(ada.count) > 0 or float(ada.p) >= 0

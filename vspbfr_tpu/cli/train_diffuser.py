@@ -19,6 +19,7 @@ from vspbfr_tpu.parallel.mesh import maybe_initialize_distributed
 from vspbfr_tpu.pipeline import RestorationPipeline
 from vspbfr_tpu.train.diffuser_train import DiffuserTrainConfig, DiffuserTrainer
 from vspbfr_tpu.utils import Logger, load_checkpoint, save_checkpoint
+from vspbfr_tpu.utils.images import save_image_grid
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -35,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--psp_ckpt", type=str, default=None)
     p.add_argument("--out", type=str, default="diffuser_out")
     p.add_argument("--save_inter", type=int, default=500)
+    p.add_argument("--show_inter", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--decoder_size", type=int, default=1024,
                    help="frozen StyleGAN2 decoder resolution")
@@ -48,7 +50,7 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.debug:
-        args.save_inter = 20
+        args.save_inter, args.show_inter = 20, 200
 
     cfg = DiffuserTrainConfig(
         size=args.size, batch=args.batch, lr=args.lr,
@@ -76,6 +78,21 @@ def main(argv=None) -> None:
     state, frozen = dp.replicate((state, frozen))
     step = trainer.jit_step(mesh)
 
+    # visual checkpoint (`code_diffuser_train.py:214-231`): decode the
+    # refined latent, the raw degraded-encode latent, and the GT inversion
+    def _sample_fn(diff_params, psp_params, low, real, key):
+        psp = pipe.psp
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        low_lat = psp.get_w_plus(psp_params, low)
+        refined = pipe.diffuse_latent(
+            {"diffuser": diff_params}, low_lat, k1)
+        target = psp.get_w_plus(psp_params, real)
+        return (psp.decode(psp_params, refined, noise_rng=k2),
+                psp.decode(psp_params, low_lat, noise_rng=k3),
+                psp.decode(psp_params, target, noise_rng=k4))
+
+    sample_fn = jax.jit(_sample_fn)
+
     # stage-2 dataset: single degraded copy, uint8-round-tripped GT
     ds = RestoreTrainDataset(args.path, im_size=(args.size, args.size),
                              n_degraded=1, quantize_gt=True, seed=args.seed,
@@ -101,6 +118,16 @@ def main(argv=None) -> None:
             logger.log(it, m)
             if it % 100 == 0:
                 print(f"[{it}] " + " ".join(f"{k}:{v:.4f}" for k, v in m.items()))
+        if it % args.show_inter == 0:
+            import numpy as np
+            refined, ori, real_inv = sample_fn(
+                state.params, frozen["psp"], lq[:4], gt[:4],
+                jax.random.key(it))
+            os.makedirs(os.path.join(args.out, "samples"), exist_ok=True)
+            save_image_grid(
+                os.path.join(args.out, "samples", f"{it:06d}.png"),
+                [np.asarray(lq[:4]), np.asarray(refined), np.asarray(ori),
+                 np.asarray(real_inv), np.asarray(gt[:4])])
         if it % args.save_inter == 0:
             save_checkpoint(ckpt_dir, {
                 "diffuser": jax.device_get(state.params),

@@ -2,6 +2,7 @@ from vspbfr_tpu.convert.torch_import import (
     convert_code_diffuser,
     convert_discriminator,
     convert_e4e_encoder,
+    convert_inception_v3,
     convert_lpips,
     convert_psp_checkpoint,
     convert_resnet101,
@@ -14,6 +15,7 @@ __all__ = [
     "convert_code_diffuser",
     "convert_discriminator",
     "convert_e4e_encoder",
+    "convert_inception_v3",
     "convert_lpips",
     "convert_psp_checkpoint",
     "convert_resnet101",

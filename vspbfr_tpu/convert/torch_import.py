@@ -426,6 +426,21 @@ def convert_resnet101(flax_params, sd):
     return convert_tree(flax_params, sd, _resnet101_key)
 
 
+def _inception_key(names: tuple[str, ...]) -> str:
+    # names: (Mixed_5b, branch1x1, conv|bn, leaf) or (Conv2d_1a_3x3, conv|bn, leaf)
+    *mods, sub, leaf = names
+    prefix = ".".join(mods)
+    if sub == "conv":
+        return f"{prefix}.conv.weight"
+    return f"{prefix}.bn.{_bn(leaf)}"
+
+
+def convert_inception_v3(flax_params, sd):
+    """torchvision inception_v3 state_dict -> InceptionV3Features params
+    (fc / AuxLogits entries in the torch dict are simply unused)."""
+    return convert_tree(flax_params, sd, _inception_key)
+
+
 def convert_lpips(flax_params, vgg_features_sd, lin_sd):
     """vgg_features_sd: torchvision vgg16 state_dict (features.*);
     lin_sd: the calibrated lin heads (`my_lpips/weights/v0.1/vgg.pth`)."""

@@ -131,25 +131,6 @@ def _pad_axis(x, axis, lo, hi):
     return jnp.pad(x, pads)
 
 
-def _upfir_1d(x, taps: tuple, axis: str, up: int, down: int, pad):
-    """One separable pass as a 1D depthwise conv (channel lanes)."""
-    c = x.shape[-1]
-    k = len(taps)
-    kf = jnp.asarray(taps[::-1], jnp.float32)
-    if axis == "y":
-        kf = jnp.tile(kf.reshape(k, 1, 1, 1), (1, 1, 1, c))
-        strides, lhs_d = (down, 1), (up, 1)
-        padding = ((pad[0], pad[1] + up - 1), (0, 0))
-    else:
-        kf = jnp.tile(kf.reshape(1, k, 1, 1), (1, 1, 1, c))
-        strides, lhs_d = (1, down), (1, up)
-        padding = ((0, 0), (pad[0], pad[1] + up - 1))
-    return jax.lax.conv_general_dilated(
-        x, kf, window_strides=strides, padding=padding, lhs_dilation=lhs_d,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-
-
 # Channel threshold below which the matmul form wins (lane utilization):
 # depthwise conv with C<32 wastes most of the 128-lane registers, while two
 # dense (n_out, n_in) matmuls run on the MXU regardless of C.

@@ -45,6 +45,7 @@ class DiffuserTrainConfig:
     id_weight: float = 0.1
     kd_temperature: float = 0.15
     timesteps: int = 4
+    remat: bool = True  # rematerialize per-step denoiser + decode forwards
 
 
 class DiffuserTrainer:
@@ -89,8 +90,10 @@ class DiffuserTrainer:
             percept = ident = jnp.zeros(())
             # weight>0 gates match `code_diffuser_train.py:177,:182`
             if cfg.percept_weight > 0 or cfg.id_weight > 0:
-                restored = psp.decode(frozen["psp"], pred_latent,
-                                      noise_rng=k_dec)  # grads flow through decoder
+                decode = (lambda p, lat: psp.decode(p, lat, noise_rng=k_dec))
+                if cfg.remat:
+                    decode = jax.checkpoint(decode)
+                restored = decode(frozen["psp"], pred_latent)  # grads flow through decoder
             if cfg.percept_weight > 0:
                 percept = jnp.mean(self.lpips.apply(
                     {"params": frozen["lpips"]}, restored,

@@ -56,6 +56,9 @@ class RestoreTrainConfig:
     augment: bool = False       # ADA, off by default (`:330-333`)
     ada_target: float = 0.6
     ada_length: int = 500 * 1000
+    # rematerialize G/D forwards inside the grads: the 512px step otherwise
+    # exceeds a v5e's 16GB HBM (R1 double-grad + full activation residency)
+    remat: bool = True
 
 
 class RestoreTrainer:
@@ -109,10 +112,23 @@ class RestoreTrainer:
         k_mix, k_noise, k_drop = jax.random.split(rng, 3)
         noise_latent = self.pipe.sample_mixing_latent(g_params, k_mix,
                                                       low.shape[0])
-        return self.pipe.generator.apply(
-            {"params": g_params}, low, feats, clean, noise_latent,
-            input_is_latent=True, deterministic=deterministic,
-            rngs={"noise": k_noise, "dropout": k_drop})
+
+        def fwd(g_params, low, feats, clean, noise_latent):
+            return self.pipe.generator.apply(
+                {"params": g_params}, low, feats, clean, noise_latent,
+                input_is_latent=True, deterministic=deterministic,
+                rngs={"noise": k_noise, "dropout": k_drop})
+
+        if self.cfg.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(g_params, low, feats, clean, noise_latent)
+
+    def _disc_apply(self, d_params, x):
+        def fwd(d_params, x):
+            return self.disc.apply({"params": d_params}, x)
+        if self.cfg.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(d_params, x)
 
     def train_step(self, g_state: TrainState, d_state: TrainState,
                    g_ema: Any, frozen: Any, low: jnp.ndarray,
@@ -134,8 +150,8 @@ class RestoreTrainer:
             fake_d = augment(k_aug_f, fake_d, ada_state.p)
 
         def d_loss_fn(d_params):
-            real_pred = self.disc.apply({"params": d_params}, real_d)
-            fake_pred = self.disc.apply({"params": d_params}, fake_d)
+            real_pred = self._disc_apply(d_params, real_d)
+            fake_pred = self._disc_apply(d_params, fake_d)
             loss = d_logistic_loss(real_pred, fake_pred)
             return loss, (real_pred, jnp.mean(fake_pred))
 
@@ -158,7 +174,7 @@ class RestoreTrainer:
                 def d_fn(x):
                     if cfg.augment and ada_state is not None:
                         x = augment(k_aug_r, x, ada_state.p)
-                    return self.disc.apply({"params": d_params}, x)
+                    return self._disc_apply(d_params, x)
                 pen = r1_penalty(d_fn, real)
                 return cfg.r1 / 2.0 * pen * cfg.d_reg_every, pen
 
@@ -180,7 +196,7 @@ class RestoreTrainer:
             fake_for_d = fake
             if cfg.augment and ada_state is not None:
                 fake_for_d = augment(k_aug_g, fake, ada_state.p)
-            fake_pred = self.disc.apply({"params": d_state.params}, fake_for_d)
+            fake_pred = self._disc_apply(d_state.params, fake_for_d)
             gan = g_nonsaturating_loss(fake_pred)
             percept = ident = jnp.zeros(())
             if cfg.percept_weight > 0:

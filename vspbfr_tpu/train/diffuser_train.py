@@ -114,7 +114,7 @@ class DiffuserTrainer:
     def jit_step(self, mesh=None):
         step = functools.partial(self.train_step)
         if mesh is None:
-            return jax.jit(step)
+            return jax.jit(step, donate_argnums=(0,))
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
@@ -122,4 +122,5 @@ class DiffuserTrainer:
             step,
             in_shardings=(repl, repl, data, data, repl),
             out_shardings=(repl, repl),
+            donate_argnums=(0,),
         )

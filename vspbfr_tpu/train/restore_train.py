@@ -229,8 +229,11 @@ class RestoreTrainer:
         """Jit the step; with a mesh, shard (low, real) on the data axis and
         replicate states (XLA then all-reduces grads over ICI)."""
         step = functools.partial(self.train_step)
+        # donate the mutable states: without donation the step holds two
+        # copies of G/D params + optimizer moments + EMA (OOM at 512px)
+        donate = (0, 1, 2) + ((7,) if self.cfg.augment else ())
         if mesh is None:
-            return jax.jit(step)
+            return jax.jit(step, donate_argnums=donate)
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
@@ -240,4 +243,5 @@ class RestoreTrainer:
             in_shardings=(repl, repl, repl, repl, data, data, repl) +
                          ((repl,) if self.cfg.augment else ()),
             out_shardings=(repl,) * n_out,
+            donate_argnums=donate,
         )

@@ -64,10 +64,11 @@ def main():
                                                      DiffuserTrainer)
         size2 = 256
         pipe2 = RestorationPipeline(size=size2, decoder_size=args.decoder_size)
+        b2 = args.batch if args.stage == "2" else 16
         trainer2 = DiffuserTrainer(
-            DiffuserTrainConfig(size=size2, batch=16), pipe2)
+            DiffuserTrainConfig(size=size2, batch=b2), pipe2)
         state, frozen2 = jax.jit(trainer2.init_states)(jax.random.key(0))
-        low = jax.random.uniform(jax.random.key(1), (16, size2, size2, 3),
+        low = jax.random.uniform(jax.random.key(1), (b2, size2, size2, 3),
                                  minval=-1.0, maxval=1.0)
         real = jax.random.uniform(jax.random.key(2), low.shape,
                                   minval=-1.0, maxval=1.0)
@@ -85,8 +86,8 @@ def main():
         run2(1)
         t1, t2 = run2(2), run2(2 + args.iters)
         dt = (t2 - t1) / args.iters
-        print(f"stage2_diffuser_step_256px_b16: {dt * 1e3:.1f} ms/step "
-              f"= {16 / dt:.2f} imgs/s")
+        print(f"stage2_diffuser_step_256px_b{b2}: {dt * 1e3:.1f} ms/step "
+              f"= {b2 / dt:.2f} imgs/s")
 
 
 if __name__ == "__main__":

@@ -318,8 +318,10 @@ class ADAState(NamedTuple):
 
     @classmethod
     def create(cls):
-        z = jnp.zeros(())
-        return cls(p=z, sign_sum=z, count=z, steps=jnp.zeros((), jnp.int32))
+        # distinct arrays: shared buffers break jit donation (same buffer
+        # would be donated multiple times)
+        return cls(p=jnp.zeros(()), sign_sum=jnp.zeros(()),
+                   count=jnp.zeros(()), steps=jnp.zeros((), jnp.int32))
 
 
 def ada_update(state: ADAState, real_pred: jnp.ndarray,

@@ -82,6 +82,8 @@ def main(argv=None) -> None:
 
     g_state, d_state, g_ema, frozen = jax.jit(trainer.init_states)(
         jax.random.key(args.seed))
+    # distinct buffers for the EMA copy (donation-safe)
+    g_ema = jax.tree.map(lambda x: jnp.asarray(np.array(x)), g_ema)
     start_iter = 0
     if args.ckpt:
         ck = load_checkpoint(args.ckpt)

@@ -93,13 +93,27 @@ class EqualConv2d(nn.Module):
     # into the conv kernel (one strided conv instead of blur + conv)
     pre_blur_taps: tuple | None = None
     pre_blur_pad: tuple = (0, 0)
+    packed: bool = False  # space-to-depth layout in AND out (stride-1 only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c_in = x.shape[-1]
+        c_in = x.shape[-1] // (4 if self.packed else 1)
         w = self.param("weight", _normal_init(),
                        (self.kernel_size, self.kernel_size, c_in, self.features))
         scale = 1.0 / math.sqrt(c_in * self.kernel_size ** 2)
+        if self.packed:
+            from vspbfr_tpu.ops import packed as pk
+            assert self.stride == 1 and self.pre_blur_taps is None
+            if self.kernel_size == 1:
+                out = pk.conv1x1_packed(x, w * scale)
+            else:
+                hint = self.dilation >= 4 and x.shape[-1] >= 256
+                out = pk.conv2d_packed(x, w * scale, dilation=self.dilation,
+                                       groups_hint=hint)
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros, (self.features,))
+                out = out + pk.pack_vector(b).reshape(1, 1, 1, -1)
+            return out
         if self.pre_blur_taps is not None:
             from vspbfr_tpu.ops.modulated_conv import fused_blur_strided_conv
             out = fused_blur_strided_conv(x, w * scale, self.pre_blur_taps,
@@ -119,11 +133,15 @@ class FusedLeakyReLU(nn.Module):
 
     features: int
     use_bias: bool = True
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b = (self.param("bias", nn.initializers.zeros, (self.features,))
              if self.use_bias else None)
+        if self.packed and b is not None:
+            from vspbfr_tpu.ops.packed import pack_vector
+            b = pack_vector(b)
         return fused_leaky_relu(x, b)
 
 
@@ -131,12 +149,30 @@ class NoiseInjection(nn.Module):
     """image + weight * noise, scalar learnable weight
     (`models/RestoreNet.py:557-569`)."""
 
+    packed: bool = False
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, noise: jnp.ndarray | None = None) -> jnp.ndarray:
         w = self.param("weight", nn.initializers.zeros, (1,))
+        if not self.packed:
+            if noise is None:
+                b, h, wd, _ = x.shape
+                noise = jax.random.normal(self.make_rng("noise"),
+                                          (b, h, wd, 1), x.dtype)
+            return x + w * noise
+        b, h, wd, c4 = x.shape
         if noise is None:
-            b, h, wd, _ = x.shape
-            noise = jax.random.normal(self.make_rng("noise"), (b, h, wd, 1), x.dtype)
+            # drawn directly in the packed layout: same iid-normal semantics
+            # as the unpacked draw, but avoids a C=1 space_to_depth transpose
+            # (lane-starved, measured several ms at 1024^2). The stream
+            # differs from the unpacked layout's; cross-layout parity tests
+            # pass explicit noise.
+            noise = jax.random.normal(self.make_rng("noise"),
+                                      (b, h, wd, 4), x.dtype)
+        else:
+            from vspbfr_tpu.ops.packed import space_to_depth
+            noise = space_to_depth(noise)  # (B, 2h, 2w, 1) -> (B, h, w, 4)
+        noise = jnp.repeat(noise, c4 // 4, axis=-1)
         return x + w * noise
 
 
@@ -165,10 +201,12 @@ class ModulatedConv2d(nn.Module):
     dilation: int = 1
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
     external_modulation: bool = False  # Dilated_ModulatedConv2d: style comes pre-modulated
+    packed_in: bool = False
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
-        c_in = x.shape[-1]
+        c_in = x.shape[-1] // (4 if self.packed_in else 1)
         if not self.external_modulation:
             style = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
         w = self.param("weight", _normal_init(),
@@ -180,6 +218,8 @@ class ModulatedConv2d(nn.Module):
             down=self.downsample,
             dilation=self.dilation,
             blur_kernel=tuple(self.blur_kernel),
+            packed_in=self.packed_in,
+            packed_out=self.packed_out,
         )
 
 
@@ -194,6 +234,8 @@ class StyledConv(nn.Module):
     downsample: bool = False
     demodulate: bool = True
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+    packed_in: bool = False
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
@@ -204,10 +246,13 @@ class StyledConv(nn.Module):
             upsample=self.upsample,
             downsample=self.downsample,
             blur_kernel=self.blur_kernel,
+            packed_in=self.packed_in,
+            packed_out=self.packed_out,
             name="conv",
         )(x, style)
-        out = NoiseInjection(name="noise")(out, noise)
-        return FusedLeakyReLU(self.features, name="activate")(out)
+        out = NoiseInjection(packed=self.packed_out, name="noise")(out, noise)
+        return FusedLeakyReLU(self.features, packed=self.packed_out,
+                              name="activate")(out)
 
 
 class ToRGB(nn.Module):
@@ -217,13 +262,23 @@ class ToRGB(nn.Module):
     upsample: bool = True
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
     out_features: int = 3
+    packed: bool = False       # feature input AND rgb output layout
+    skip_packed: bool = False  # layout of the incoming half-res skip
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
                  skip: jnp.ndarray | None = None) -> jnp.ndarray:
         out = ModulatedConv2d(self.out_features, 1, demodulate=False,
+                              packed_in=self.packed, packed_out=self.packed,
                               name="conv")(x, style)
         b = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        if self.packed:
+            from vspbfr_tpu.ops.packed import pack_vector, upsample2d_packed
+            out = out + pack_vector(b).reshape(1, 1, 1, -1)
+            if skip is not None:
+                out = out + upsample2d_packed(skip, tuple(self.blur_kernel),
+                                              packed_in=self.skip_packed)
+            return out
         out = out + b.reshape(1, 1, 1, -1)
         if skip is not None:
             out = out + upsample2d(skip, tuple(self.blur_kernel))
@@ -240,10 +295,20 @@ class ConvLayer(nn.Module):
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
     use_bias: bool = True
     activate: bool = True
+    packed: bool = False  # stride-1 only: packed in and out
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
+        if self.packed:
+            assert not self.downsample
+            out = EqualConv2d(self.features, k, stride=1, padding=k // 2,
+                              use_bias=self.use_bias and not self.activate,
+                              packed=True, name="conv")(x)
+            if self.activate:
+                out = FusedLeakyReLU(self.features, use_bias=self.use_bias,
+                                     packed=True, name="activate")(out)
+            return out
         if self.downsample:
             # blur + stride-2 conv fused into one strided conv with the
             # composed kernel (removes the depthwise FIR pass)
@@ -293,6 +358,7 @@ class SMARTLayer(nn.Module):
     rates: Sequence[int] = (1, 2, 4, 8)
     activate: bool = True
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+    packed: bool = False  # packed in and out (stride-1 SMART only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
@@ -301,7 +367,9 @@ class SMARTLayer(nn.Module):
         """return_intermediates=True additionally returns the per-dilation
         branch outputs + the final tensor (`forward_vis`,
         `models/RestoreNet.py:246-268`)."""
-        c_in = x.shape[-1]
+        if self.packed:
+            assert not self.upsample
+        c_in = x.shape[-1] // (4 if self.packed else 1)
         mod = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
         branch = self.features // len(self.rates)
         outs = [
@@ -312,15 +380,27 @@ class SMARTLayer(nn.Module):
                 dilation=rate,
                 blur_kernel=self.blur_kernel,
                 external_modulation=True,
+                packed_in=self.packed,
+                packed_out=self.packed,
                 name=f"dilated_{i}",
             )(x, mod)
             for i, rate in enumerate(self.rates)
         ]
-        out = jnp.concatenate(outs, axis=-1)
-        out = ConvLayer(self.features, 3, name="fusion")(out)
-        out = NoiseInjection(name="noise")(out, noise)
+        if self.packed:
+            # packed concat must interleave per phase group: reassemble
+            # (B,h,w,4*branch) x4 -> (B,h,w,4*features) phase-major
+            b_, h_, w_ = outs[0].shape[:3]
+            stacked = [o.reshape(b_, h_, w_, 4, branch) for o in outs]
+            out = jnp.concatenate(stacked, axis=-1).reshape(
+                b_, h_, w_, 4 * self.features)
+        else:
+            out = jnp.concatenate(outs, axis=-1)
+        out = ConvLayer(self.features, 3, packed=self.packed,
+                        name="fusion")(out)
+        out = NoiseInjection(packed=self.packed, name="noise")(out, noise)
         if self.activate:
-            out = FusedLeakyReLU(self.features, name="activate")(out)
+            out = FusedLeakyReLU(self.features, packed=self.packed,
+                                 name="activate")(out)
         if return_intermediates:
             return out, outs + [out]
         return out
@@ -338,11 +418,13 @@ class LargeConvLayer(nn.Module):
     use_bias: bool = True
     activate: bool = True
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+    packed: bool = False  # packed in and out (stride-1 only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
         if self.downsample:
+            assert not self.packed
             factor = 2
             p = (len(self.blur_kernel) - factor) + (k - 1)
             x = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2), name="blur")(x)
@@ -356,13 +438,21 @@ class LargeConvLayer(nn.Module):
             outs.append(
                 EqualConv2d(branch, k, stride=stride, padding=pad, dilation=rate,
                             use_bias=self.use_bias and not self.activate,
+                            packed=self.packed,
                             name=f"dilated_{i}")(x)
             )
-        out = jnp.concatenate(outs, axis=-1)
-        out = ConvLayer(self.features, 1, name="fusion")(out)
+        if self.packed:
+            b_, h_, w_ = outs[0].shape[:3]
+            stacked = [o.reshape(b_, h_, w_, 4, branch) for o in outs]
+            out = jnp.concatenate(stacked, axis=-1).reshape(
+                b_, h_, w_, 4 * self.features)
+        else:
+            out = jnp.concatenate(outs, axis=-1)
+        out = ConvLayer(self.features, 1, packed=self.packed,
+                        name="fusion")(out)
         if self.activate:
             out = FusedLeakyReLU(self.features, use_bias=self.use_bias,
-                                 name="activate")(out)
+                                 packed=self.packed, name="activate")(out)
         return out
 
 

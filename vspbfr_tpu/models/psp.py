@@ -57,11 +57,12 @@ class PSPFacade:
 
     @classmethod
     def create(cls, out_size: int = 512, size: int = 1024,
-               input_channels: int = 3) -> "PSPFacade":
+               input_channels: int = 3,
+               packed_min_res: int = 512) -> "PSPFacade":
         return cls(
             encoder=Encoder4Editing(stylegan_size=size,
                                     input_channels=input_channels),
-            decoder=Generator(size=size),
+            decoder=Generator(size=size, packed_min_res=packed_min_res),
             out_size=out_size,
             size=size,
         )

@@ -45,6 +45,12 @@ class RestorationNet(nn.Module):
     n_mlp: int = 8
     channel_multiplier: int = 2
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+    # Space-to-depth packed layout for resolutions >= this (see
+    # stylegan2.Generator.packed_min_res). The frozen decoder feeding
+    # de_feats must use the same threshold. Only the top resolution may be
+    # packed (the encoder's packed->packed downsample is not implemented);
+    # 0 disables.
+    packed_min_res: int = 512
 
     @property
     def log_size(self) -> int:
@@ -63,28 +69,44 @@ class RestorationNet(nn.Module):
         self._ch = ch
         self.style = StyleMLP(self.style_dim, self.n_mlp)
 
+        pmr = self.packed_min_res or (2 * self.size)
+        if pmr < self.size:
+            raise NotImplementedError(
+                "packed_min_res below the top resolution needs a "
+                "packed->packed encoder downsample")
+
         # decoder (`models/RestoreNet.py:824-879`)
         self.conv1 = SMARTLayer(ch[4], blur_kernel=self.blur_kernel)
         self.to_rgb1 = ToRGB(upsample=False)
         convs, to_rgbs = [], []
         for i in range(3, self.log_size + 1):
-            out_ch = ch[2 ** i]
+            res = 2 ** i
+            out_ch = ch[res]
+            pk_in = (res // 2) >= pmr
+            pk_out = res >= pmr
             convs.append(StyledConv(out_ch, 3, upsample=True,
-                                    blur_kernel=self.blur_kernel))
-            convs.append(SMARTLayer(out_ch, blur_kernel=self.blur_kernel))
-            to_rgbs.append(ToRGB(blur_kernel=self.blur_kernel))
+                                    blur_kernel=self.blur_kernel,
+                                    packed_in=pk_in, packed_out=pk_out))
+            convs.append(SMARTLayer(out_ch, blur_kernel=self.blur_kernel,
+                                    packed=pk_out))
+            to_rgbs.append(ToRGB(blur_kernel=self.blur_kernel,
+                                 packed=pk_out, skip_packed=pk_in))
         self.convs = convs
         self.to_rgbs = to_rgbs
 
         # encoder (`models/RestoreNet.py:887-912`)
-        self.down_from_big = LargeConvLayer(ch[self.size], kernel_size=1)
+        self.down_from_big = LargeConvLayer(ch[self.size], kernel_size=1,
+                                            packed=self.size >= pmr)
         enc = []
         for i in range(self.log_size, 2, -1):
-            tmp_ch = ch[2 ** i]
+            res = 2 ** i
+            tmp_ch = ch[res]
             out_ch = ch[2 ** (i - 1)]
-            enc.append(SMARTLayer(tmp_ch, blur_kernel=self.blur_kernel))
+            enc.append(SMARTLayer(tmp_ch, blur_kernel=self.blur_kernel,
+                                  packed=res >= pmr))
             enc.append(StyledConv(out_ch, 3, downsample=True,
-                                  blur_kernel=self.blur_kernel))
+                                  blur_kernel=self.blur_kernel,
+                                  packed_in=res >= pmr))
         self.encoder_convs = enc
         self.final_layer = LargeConvLayer(ch[4], kernel_size=3)
         self.final_linear = EqualLinear(ch[4] * 2, activation=True)
@@ -95,6 +117,9 @@ class RestorationNet(nn.Module):
         """`models/RestoreNet.py:915-942`. latent: flipped (B, 16, 1024);
         noise: reversed per-layer noise list."""
         b = imgs.shape[0]
+        if self.packed_min_res and self.size >= self.packed_min_res:
+            from vspbfr_tpu.ops.packed import space_to_depth
+            imgs = space_to_depth(imgs)
         out = self.down_from_big(imgs)
         features = []
         for ii in range(0, len(self.encoder_convs), 2):
@@ -162,6 +187,10 @@ class RestorationNet(nn.Module):
             out = conv_smart(out, sty(i + 1), noise=noise[layer_idx + 2])
             skip = to_rgb(out, sty(i + 2), skip)
             i += 2
+
+        if self.packed_min_res and self.size >= self.packed_min_res:
+            from vspbfr_tpu.ops.packed import depth_to_space
+            skip = depth_to_space(skip)
 
         if return_latents:
             return skip, latent

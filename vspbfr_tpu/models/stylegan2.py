@@ -44,6 +44,12 @@ class Generator(nn.Module):
     n_mlp: int = 8
     channel_multiplier: int = 2
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
+    # Resolutions >= this run in the space-to-depth packed layout
+    # (ops/packed.py): same parameters, ~2x faster on TPU at the C<=64
+    # resolutions (measured scripts/exp_packed.py). 0 disables. Feature taps
+    # at packed resolutions are returned packed — consumers (RestoreNet)
+    # must use the same threshold.
+    packed_min_res: int = 512
 
     @property
     def log_size(self) -> int:
@@ -67,12 +73,19 @@ class Generator(nn.Module):
         self.to_rgb1 = ToRGB(upsample=False)
 
         convs, to_rgbs = [], []
+        pmr = self.packed_min_res or (2 * self.size)
         for i in range(3, self.log_size + 1):
-            out_ch = ch[2 ** i]
+            res = 2 ** i
+            out_ch = ch[res]
+            pk_in = (res // 2) >= pmr
+            pk_out = res >= pmr
             convs.append(StyledConv(out_ch, 3, upsample=True,
-                                    blur_kernel=self.blur_kernel))
-            convs.append(StyledConv(out_ch, 3, blur_kernel=self.blur_kernel))
-            to_rgbs.append(ToRGB(blur_kernel=self.blur_kernel))
+                                    blur_kernel=self.blur_kernel,
+                                    packed_in=pk_in, packed_out=pk_out))
+            convs.append(StyledConv(out_ch, 3, blur_kernel=self.blur_kernel,
+                                    packed_in=pk_out, packed_out=pk_out))
+            to_rgbs.append(ToRGB(blur_kernel=self.blur_kernel,
+                                 packed=pk_out, skip_packed=pk_in))
         self.convs = convs
         self.to_rgbs = to_rgbs
 
@@ -93,7 +106,8 @@ class Generator(nn.Module):
 
         Returns:
           image (B, size, size, 3) in [-1, 1] range convention, and the
-          feature list (or None).
+          feature list (or None). Features at resolutions >= packed_min_res
+          are in the packed layout (B, r/2, r/2, 4C).
         """
         b = latent.shape[0]
         if noise is None:
@@ -117,4 +131,7 @@ class Generator(nn.Module):
             skip = to_rgb(out, latent[:, i + 2], skip)
             i += 2
 
+        if self.packed_min_res and self.size >= self.packed_min_res:
+            from vspbfr_tpu.ops.packed import depth_to_space
+            skip = depth_to_space(skip)
         return skip, features

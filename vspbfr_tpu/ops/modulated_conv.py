@@ -207,6 +207,60 @@ def demod_coeffs(w: jnp.ndarray, style: jnp.ndarray, scale: float,
     return jax.lax.rsqrt(denom + eps)
 
 
+def _modulated_conv2d_packed(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    style: jnp.ndarray,
+    *,
+    demodulate: bool,
+    up: bool,
+    down: bool,
+    dilation: int,
+    blur_kernel,
+    eps: float,
+    packed_in: bool,
+    packed_out: bool,
+) -> jnp.ndarray:
+    """Packed-layout modulated conv (see ops/packed.py). x is (B,h,w,4Ci)
+    when packed_in else (B,H,W,Ci); output packed iff packed_out. The math
+    is the identical input-scale/conv/demodulate formulation on the
+    space-to-depth layout."""
+    from vspbfr_tpu.ops import packed as pk
+
+    kh, kw, c_in, c_out = w.shape
+    k = kh
+    scale = 1.0 / ((c_in * k * k) ** 0.5)
+    if demodulate:
+        d = demod_coeffs(w, style, scale, eps)   # (B, c_out)
+
+    sty = pk.pack_vector(style) if packed_in else style
+    xs = x * sty[:, None, None, :]
+    ws = scale * w
+
+    if up:
+        assert packed_out and dilation == 1
+        taps = tuple(blur_kernel)
+        out = pk.up_conv_blur_packed(xs, ws, taps, packed_in=packed_in)
+    elif down:
+        assert packed_in and not packed_out and dilation == 1
+        out = pk.blur_down_conv_packed(xs, ws, tuple(blur_kernel))
+    else:
+        assert packed_in and packed_out
+        if k == 1:
+            out = pk.conv1x1_packed(xs, ws)
+        else:
+            # grouped lowering only pays off for large dilations at wide
+            # packed channels (measured scripts/exp_packed.py on v5e)
+            hint = dilation >= 4 and x.shape[-1] >= 256
+            out = pk.conv2d_packed(xs, ws, dilation=dilation,
+                                   groups_hint=hint)
+
+    if demodulate:
+        dv = pk.pack_vector(d) if packed_out else d
+        out = out * dv[:, None, None, :]
+    return out
+
+
 def modulated_conv2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -218,12 +272,22 @@ def modulated_conv2d(
     dilation: int = 1,
     blur_kernel: jnp.ndarray | None = None,
     eps: float = 1e-8,
+    packed_in: bool = False,
+    packed_out: bool = False,
 ) -> jnp.ndarray:
     """Style-modulated conv. x: (B,H,W,Cin), w: (kh,kw,Cin,Cout), style: (B,Cin).
 
     `style` is the already-affine-mapped modulation vector (the reference's
     `modulation(style)`); scale = 1/sqrt(fan_in) is applied internally.
+
+    packed_in/packed_out select the space-to-depth layout (ops/packed.py)
+    for the input/output tensors; parameters are identical in either mode.
     """
+    if packed_in or packed_out:
+        return _modulated_conv2d_packed(
+            x, w, style, demodulate=demodulate, up=up, down=down,
+            dilation=dilation, blur_kernel=blur_kernel, eps=eps,
+            packed_in=packed_in, packed_out=packed_out)
     kh, kw, c_in, c_out = w.shape
     assert kh == kw, "square kernels only"
     k = kh

@@ -41,13 +41,19 @@ class RestorationPipeline:
     timesteps: int = 4
     mixing_prob: float = 0.5
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU-rate inference
+    # space-to-depth layout threshold shared by the frozen decoder and
+    # RestoreNet (must match — decoder feature taps at packed resolutions
+    # flow into RestoreNet's skip fusion packed). 0 disables.
+    packed_min_res: int = 512
 
     def __post_init__(self):
-        self.psp = PSPFacade.create(out_size=self.size, size=self.decoder_size)
+        self.psp = PSPFacade.create(out_size=self.size, size=self.decoder_size,
+                                    packed_min_res=self.packed_min_res)
         self.diffuser = CodeDiffuser(timesteps=self.timesteps)
         self.generator = RestorationNet(
             size=self.size, style_dim=self.style_dim, n_mlp=self.n_mlp,
-            channel_multiplier=self.channel_multiplier)
+            channel_multiplier=self.channel_multiplier,
+            packed_min_res=self.packed_min_res)
         self.schedule = DDPMSchedule.linear(
             timesteps=self.timesteps, linear_start=0.1, linear_end=0.99)
 
@@ -72,8 +78,15 @@ class RestorationPipeline:
         ch = channel_dict(self.channel_multiplier)
         import math
         n = int(math.log2(self.decoder_size)) - 1
-        return [jnp.zeros((b, 2 ** (f + 2), 2 ** (f + 2), ch[2 ** (f + 2)]))
-                for f in range(n)]
+        pmr = self.packed_min_res or (2 * self.decoder_size)
+        out = []
+        for f in range(n):
+            r, c = 2 ** (f + 2), ch[2 ** (f + 2)]
+            if r >= pmr:
+                out.append(jnp.zeros((b, r // 2, r // 2, 4 * c)))
+            else:
+                out.append(jnp.zeros((b, r, r, c)))
+        return out
 
     # -- composition stages -------------------------------------------------
 

@@ -274,11 +274,57 @@ def test_fused_blur_strided_conv_matches_two_pass(rng):
 
 
 def test_pallas_d2s_interleave(rng):
-    """Experimental Pallas phase-interleave == XLA stack+reshape
-    (interpret mode on CPU)."""
-    from vspbfr_tpu.ops.pallas_d2s import interleave_2x2, interleave_2x2_xla
-    ps = [jnp.asarray(rng.standard_normal((2, 8, 16, 128)).astype(np.float32))
-          for _ in range(4)]
-    np.testing.assert_allclose(np.asarray(interleave_2x2(*ps)),
-                               np.asarray(interleave_2x2_xla(*ps)),
-                               rtol=0, atol=0)
+    """Pallas phase interleave kernel == XLA 6D transpose (interpret mode),
+    both directions, and they invert each other."""
+    from vspbfr_tpu.ops import pallas_d2s as pd
+
+    inner = 128
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 4 * inner))
+                    .astype(np.float32))
+    ref = pd._d2s_xla(x, inner)
+    got = pd._d2s_pallas(x, inner, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    back_ref = pd._s2d_xla(ref, inner)
+    np.testing.assert_array_equal(np.asarray(back_ref), np.asarray(x))
+    back = pd._s2d_pallas(ref, inner, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_d2s_vjp_is_inverse_permutation(rng):
+    """grad through interleave_d2s == the inverse scatter (permutation op)."""
+    from vspbfr_tpu.ops.pallas_d2s import gather_s2d, interleave_d2s
+
+    inner = 128
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, 4 * inner))
+                    .astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((1, 8, 12, inner)).astype(np.float32))
+    _, vjp = jax.vjp(lambda t: interleave_d2s(t, inner), x)
+    (dx,) = vjp(g)
+    np.testing.assert_array_equal(np.asarray(dx),
+                                  np.asarray(gather_s2d(g, inner)))
+    # second order (R1 path): linear op — vjp of vjp is d2s again
+    _, vjp2 = jax.vjp(lambda t: gather_s2d(t, inner), g)
+    (dg,) = vjp2(x)
+    np.testing.assert_array_equal(np.asarray(dg),
+                                  np.asarray(interleave_d2s(x, inner)))
+
+
+def test_up_conv_blur_unpacked_matches_two_pass(rng):
+    """Subpixel composed-conv up path == conv_transpose + blur (the
+    reference `models/RestoreNet.py:297-312` arithmetic)."""
+    from vspbfr_tpu.ops.modulated_conv import conv_transpose2d
+    from vspbfr_tpu.ops.packed import up_conv_blur_unpacked
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 5)).astype(np.float32))
+    taps = (1, 3, 3, 1)
+    k, lk, factor = 3, 4, 2
+    ref = conv_transpose2d(x, w, stride=2, padding=0)
+    p = (lk - factor) - (k - 1)
+    ref = blur(ref, taps, pad=((p + 1) // 2 + 1, p // 2 + 1),
+               upsample_factor=factor)
+    got = up_conv_blur_unpacked(x, w, taps)
+    assert got.shape == ref.shape == (2, 16, 16, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

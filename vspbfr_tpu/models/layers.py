@@ -22,6 +22,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vspbfr_tpu.ops import (
     blur as _blur,
@@ -34,6 +35,21 @@ from vspbfr_tpu.ops import (
 )
 
 BLUR_KERNEL_DEFAULT = (1, 3, 3, 1)
+
+
+def _branch_major_perm(features: int, n_branches: int) -> tuple:
+    """Packed-channel permutation mapping the fusion conv's expected
+    phase-major (ph, br, cb) layout onto the branch-major (br, ph, cb)
+    concat the SMART/LargeConv branches produce: perm[j] = packed channel
+    held at data channel j."""
+    cb = features // n_branches
+    perm = np.empty(4 * features, np.int32)
+    for br in range(n_branches):
+        for ph in range(4):
+            for c in range(cb):
+                j = br * 4 * cb + ph * cb + c
+                perm[j] = ph * features + br * cb + c
+    return tuple(int(v) for v in perm)
 
 
 def pixel_norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-8) -> jnp.ndarray:
@@ -94,9 +110,14 @@ class EqualConv2d(nn.Module):
     pre_blur_taps: tuple | None = None
     pre_blur_pad: tuple = (0, 0)
     packed: bool = False  # space-to-depth layout in AND out (stride-1 only)
+    # packed-input-channel permutation folded into the kernel (the SMART /
+    # LargeConv branch concat is consumed in branch-major order directly)
+    packed_in_perm: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        perm = (np.asarray(self.packed_in_perm, np.int32)
+                if self.packed_in_perm is not None else None)
         c_in = x.shape[-1] // (4 if self.packed else 1)
         w = self.param("weight", _normal_init(),
                        (self.kernel_size, self.kernel_size, c_in, self.features))
@@ -105,11 +126,11 @@ class EqualConv2d(nn.Module):
             from vspbfr_tpu.ops import packed as pk
             assert self.stride == 1 and self.pre_blur_taps is None
             if self.kernel_size == 1:
-                out = pk.conv1x1_packed(x, w * scale)
+                out = pk.conv1x1_packed(x, w * scale, in_ch_perm=perm)
             else:
-                hint = self.dilation >= 4 and x.shape[-1] >= 256
+                hint = self.dilation >= 4 and x.shape[-1] >= 512
                 out = pk.conv2d_packed(x, w * scale, dilation=self.dilation,
-                                       groups_hint=hint)
+                                       groups_hint=hint, in_ch_perm=perm)
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros, (self.features,))
                 out = out + pk.pack_vector(b).reshape(1, 1, 1, -1)
@@ -296,6 +317,7 @@ class ConvLayer(nn.Module):
     use_bias: bool = True
     activate: bool = True
     packed: bool = False  # stride-1 only: packed in and out
+    packed_in_perm: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -304,7 +326,9 @@ class ConvLayer(nn.Module):
             assert not self.downsample
             out = EqualConv2d(self.features, k, stride=1, padding=k // 2,
                               use_bias=self.use_bias and not self.activate,
-                              packed=True, name="conv")(x)
+                              packed=True,
+                              packed_in_perm=self.packed_in_perm,
+                              name="conv")(x)
             if self.activate:
                 out = FusedLeakyReLU(self.features, use_bias=self.use_bias,
                                      packed=True, name="activate")(out)
@@ -386,17 +410,14 @@ class SMARTLayer(nn.Module):
             )(x, mod)
             for i, rate in enumerate(self.rates)
         ]
-        if self.packed:
-            # packed concat must interleave per phase group: reassemble
-            # (B,h,w,4*branch) x4 -> (B,h,w,4*features) phase-major
-            b_, h_, w_ = outs[0].shape[:3]
-            stacked = [o.reshape(b_, h_, w_, 4, branch) for o in outs]
-            out = jnp.concatenate(stacked, axis=-1).reshape(
-                b_, h_, w_, 4 * self.features)
-        else:
-            out = jnp.concatenate(outs, axis=-1)
+        out = jnp.concatenate(outs, axis=-1)
+        # packed branch outputs concat branch-major (br, ph, cb); instead of
+        # reshuffling the tensor to phase-major, fold the permutation into
+        # the fusion conv's input channels (zero data movement)
+        perm = (_branch_major_perm(self.features, len(self.rates))
+                if self.packed else None)
         out = ConvLayer(self.features, 3, packed=self.packed,
-                        name="fusion")(out)
+                        packed_in_perm=perm, name="fusion")(out)
         out = NoiseInjection(packed=self.packed, name="noise")(out, noise)
         if self.activate:
             out = FusedLeakyReLU(self.features, packed=self.packed,
@@ -441,15 +462,11 @@ class LargeConvLayer(nn.Module):
                             packed=self.packed,
                             name=f"dilated_{i}")(x)
             )
-        if self.packed:
-            b_, h_, w_ = outs[0].shape[:3]
-            stacked = [o.reshape(b_, h_, w_, 4, branch) for o in outs]
-            out = jnp.concatenate(stacked, axis=-1).reshape(
-                b_, h_, w_, 4 * self.features)
-        else:
-            out = jnp.concatenate(outs, axis=-1)
+        out = jnp.concatenate(outs, axis=-1)
+        perm = (_branch_major_perm(self.features, len(self.rates))
+                if self.packed else None)
         out = ConvLayer(self.features, 1, packed=self.packed,
-                        name="fusion")(out)
+                        packed_in_perm=perm, name="fusion")(out)
         if self.activate:
             out = FusedLeakyReLU(self.features, use_bias=self.use_bias,
                                  packed=self.packed, name="activate")(out)

@@ -249,9 +249,11 @@ def _modulated_conv2d_packed(
         if k == 1:
             out = pk.conv1x1_packed(xs, ws)
         else:
-            # grouped lowering only pays off for large dilations at wide
-            # packed channels (measured scripts/exp_packed.py on v5e)
-            hint = dilation >= 4 and x.shape[-1] >= 256
+            # dense lowering beats XLA's grouped convs at the production
+            # widths: grouped d=4/8 branches ran 5-7 TF/s vs 60+ TF/s dense
+            # (scripts/exp_smart_ablate.py on v5e at 4C=256); keep grouped
+            # only for packed widths >= 512 which no current config hits
+            hint = dilation >= 4 and x.shape[-1] >= 512
             out = pk.conv2d_packed(xs, ws, dilation=dilation,
                                    groups_hint=hint)
 
@@ -301,19 +303,29 @@ def modulated_conv2d(
     ws = scale * w
 
     if up:
-        # NOTE: a fused composed-kernel subpixel path exists
-        # (_fused_up_conv_blur) but measured slower than lhs-dilation +
-        # stencil blur on v5e until the interleave gets a Pallas kernel.
-        out = conv_transpose2d(xs, ws, stride=2, padding=0,
-                               dilation=dilation)
-        if blur_kernel is not None:
-            factor = 2
-            klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]
-            p = (klen - factor) - (k - 1) * dilation
-            pad0 = (p + 1) // 2 + factor - 1
-            pad1 = p // 2 + 1
-            out = _blur(out, blur_kernel, pad=(pad0, pad1),
-                        upsample_factor=factor)
+        if (dilation == 1 and isinstance(blur_kernel, (tuple, list))
+                and c_out < 128):
+            # Lane-starved output (c_out < 128 pads the lane dim): subpixel
+            # composed conv emitting 4*c_out phase channels + Pallas d2s.
+            # At c_out >= 128 the lhs-dilated conv runs at full MXU util
+            # and the dense phase assembly's ~1.8x tap overcount loses
+            # (measured: restore 90 -> 102 ms when applied everywhere);
+            # the models' own c_out < 128 resolutions use the packed
+            # free-output path instead, so this is a fallback for
+            # non-packed configs (e.g. packed_min_res=0).
+            from vspbfr_tpu.ops.packed import up_conv_blur_unpacked
+            out = up_conv_blur_unpacked(xs, ws, tuple(blur_kernel))
+        else:
+            out = conv_transpose2d(xs, ws, stride=2, padding=0,
+                                   dilation=dilation)
+            if blur_kernel is not None:
+                factor = 2
+                klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]
+                p = (klen - factor) - (k - 1) * dilation
+                pad0 = (p + 1) // 2 + factor - 1
+                pad1 = p // 2 + 1
+                out = _blur(out, blur_kernel, pad=(pad0, pad1),
+                            upsample_factor=factor)
     elif down:
         factor = 2
         klen = len(blur_kernel) if isinstance(blur_kernel, (tuple, list)) else blur_kernel.shape[0]

@@ -181,17 +181,24 @@ def _map_down(dk: int, pad0: int):
 # ---------------------------------------------------------------------------
 
 def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
-                  groups_hint: bool = True) -> jnp.ndarray:
+                  groups_hint: bool = True,
+                  in_ch_perm: jnp.ndarray | None = None) -> jnp.ndarray:
     """Stride-1 'same' conv on a packed tensor == packed(conv(unpacked)).
 
     x: (B, h, w, 4Ci) packed; w: (k, k, Ci, Co) the UNPACKED kernel.
     Even dilations factorize per phase (phases never mix): lowered as a
     feature_group_count=4 conv at dilation d/2 when groups_hint, else as the
     equivalent dense (zero-padded) kernel.
+
+    in_ch_perm: optional packed-input-channel permutation folded into the
+    assembled kernel: the conv consumes x whose channel j carries what the
+    packed layout calls channel in_ch_perm[j] (used by SMART to skip the
+    branch-concat reshuffle). Odd dilations only.
     """
     k = w.shape[0]
     pad = ((k - 1) * dilation) // 2
     if dilation % 2 == 0:
+        assert in_ch_perm is None
         d2 = dilation // 2
         p2 = ((k - 1) * d2) // 2  # the unpacked pad halves on the half grid
         if groups_hint:
@@ -212,20 +219,35 @@ def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
 
     m = _map_s1(k, pad, dilation)
     wp, (py0, py1), (px0, px1) = _assemble2(w, m, m, 2, 2)
+    if in_ch_perm is not None:
+        wp = jnp.take(wp, jnp.asarray(in_ch_perm), axis=2)
     return jax.lax.conv_general_dilated(
         x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
         dimension_numbers=_DN)
 
 
-def conv1x1_packed(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def conv1x1_packed(x: jnp.ndarray, w: jnp.ndarray,
+                   in_ch_perm: jnp.ndarray | None = None) -> jnp.ndarray:
     """1x1 conv on packed layout: phases map independently with shared
-    weights. x: (B,h,w,4Ci), w: (1,1,Ci,Co) or (Ci,Co)."""
+    weights. x: (B,h,w,4Ci), w: (1,1,Ci,Co) or (Ci,Co).
+
+    in_ch_perm: optional packed-input-channel permutation folded into the
+    weight (input channel j of x holds packed channel in_ch_perm[j]) —
+    lowers as one dense (4Ci, 4Co) matmul instead of the phase-batched
+    einsum."""
     if w.ndim == 4:
         w = w[0, 0]
     b, h, wd, c4 = x.shape
-    ci = w.shape[0]
+    ci, co = w.shape
+    if in_ch_perm is not None:
+        full = jnp.zeros((4 * ci, 4 * co), w.dtype)
+        for ph in range(4):
+            full = full.at[ph * ci:(ph + 1) * ci,
+                           ph * co:(ph + 1) * co].set(w)
+        full = jnp.take(full, jnp.asarray(in_ch_perm), axis=0)
+        return (x @ full.astype(x.dtype))
     out = x.reshape(b, h, wd, 4, ci) @ w.astype(x.dtype)
-    return out.reshape(b, h, wd, 4 * w.shape[1])
+    return out.reshape(b, h, wd, 4 * co)
 
 
 def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
@@ -258,16 +280,54 @@ def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
             x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
             dimension_numbers=_DN)
     wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 2, 4)
+    co = w.shape[3]
+    # out16 channels from _assemble2 are (Ay*4 + Ax)*Co with A = 2*g + a;
+    # permute the KERNEL's output channels to (gy, gx, ay, ax, c) so the
+    # g factor depth-to-spaces with the contiguous (ay, ax, c) inner block
+    # (Pallas kernel at HBM speed; the old 8D transpose measured 112 GB/s)
+    perm = np.empty(16 * co, np.int32)
+    for gy in range(2):
+        for gx in range(2):
+            for ay in range(2):
+                for ax in range(2):
+                    new = (((gy * 2 + gx) * 2 + ay) * 2 + ax) * co
+                    old = (((2 * gy + ay) * 4) + (2 * gx + ax)) * co
+                    perm[new:new + co] = np.arange(old, old + co)
+    wp = jnp.take(wp, jnp.asarray(perm), axis=3)
     out16 = jax.lax.conv_general_dilated(
         x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
         dimension_numbers=_DN)
-    # out16 channels: (Ay*4 + Ax)*Co with A = 2*g + a; regroup to
-    # depth-to-space the g factor: (gy, gx) spatial, (a_y*2+a_x) phase.
-    b, h, wd, _ = out16.shape
-    co = w.shape[3]
-    o = out16.reshape(b, h, wd, 2, 2, 2, 2, co)     # (gy, ay, gx, ax)
-    o = jnp.transpose(o, (0, 1, 3, 2, 5, 4, 6, 7))  # -> b,h,gy,wd,gx,ay,ax,c
-    return o.reshape(b, 2 * h, 2 * wd, 4 * co)
+    from vspbfr_tpu.ops.pallas_d2s import interleave_d2s
+    return interleave_d2s(out16, 4 * co)
+
+
+def up_conv_blur_unpacked(x: jnp.ndarray, w: jnp.ndarray,
+                          taps: tuple) -> jnp.ndarray:
+    """StyleGAN2 up path with UNPACKED in and out: the subpixel composed
+    conv (output phases as channel groups) + the Pallas phase interleave.
+
+    x: (B, h, w, Ci) -> (B, 2h, 2w, Co). Replaces the lhs-dilated
+    transposed conv + depthwise FIR (both pathological in XLA's TPU
+    lowering: 4x-padded intermediates / tiny-minor relayouts).
+    """
+    from vspbfr_tpu.ops.modulated_conv import compose_blur_kernel
+    from vspbfr_tpu.ops.pallas_d2s import interleave_d2s
+
+    k = w.shape[0]
+    lk = len(taps)
+    factor = 2
+    d2 = compose_blur_kernel(w, taps, gain=float(factor ** 2))
+    dk = k + lk - 1
+    p = (lk - factor) - (k - 1)
+    pad0 = (p + 1) // 2 + factor - 1
+    c0 = lk - 1 - pad0
+
+    m = _map_up(dk, c0, False)
+    wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 1, 2)
+    out4 = jax.lax.conv_general_dilated(
+        x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
+        dimension_numbers=_DN)                       # channels (gy, gx, Co)
+    return interleave_d2s(out4, w.shape[3])
 
 
 def blur_down_conv_packed(x: jnp.ndarray, w: jnp.ndarray,
@@ -320,10 +380,17 @@ def upsample2d_packed(x: jnp.ndarray, taps: tuple,
             x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
             dimension_numbers=_DN)
     wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 2, 4)
+    perm = np.empty(16 * c, np.int32)
+    for gy in range(2):
+        for gx in range(2):
+            for ay in range(2):
+                for ax in range(2):
+                    new = (((gy * 2 + gx) * 2 + ay) * 2 + ax) * c
+                    old = (((2 * gy + ay) * 4) + (2 * gx + ax)) * c
+                    perm[new:new + c] = np.arange(old, old + c)
+    wp = jnp.take(wp, jnp.asarray(perm), axis=3)
     out16 = jax.lax.conv_general_dilated(
         x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
         dimension_numbers=_DN)
-    b, h, wd, _ = out16.shape
-    o = out16.reshape(b, h, wd, 2, 2, 2, 2, c)
-    o = jnp.transpose(o, (0, 1, 3, 2, 5, 4, 6, 7))
-    return o.reshape(b, 2 * h, 2 * wd, 4 * c)
+    from vspbfr_tpu.ops.pallas_d2s import interleave_d2s
+    return interleave_d2s(out16, 4 * c)

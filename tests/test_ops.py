@@ -328,3 +328,56 @@ def test_up_conv_blur_unpacked_matches_two_pass(rng):
     assert got.shape == ref.shape == (2, 16, 16, 5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_conv2d_dense_matches_xla(rng):
+    """Pallas dense conv kernel == lax.conv (interpret mode), fwd + grad."""
+    from vspbfr_tpu.ops.pallas_conv import _lax_conv, conv2d_dense
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 128)).astype(np.float32)
+                    * 0.1)
+    pads = ((1, 1), (1, 1))
+    ref = _lax_conv(x, w, pads)
+    got = conv2d_dense(x, w, pads, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # asymmetric pads + non-square kernel (the assembled up-conv case)
+    w2 = jnp.asarray(rng.standard_normal((2, 2, 128, 128)).astype(np.float32)
+                     * 0.1)
+    pads2 = ((0, 1), (1, 0))
+    ref2 = _lax_conv(x, w2, pads2)
+    got2 = conv2d_dense(x, w2, pads2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-5)
+
+    g = jnp.ones_like(ref)
+    _, vjp_p = jax.vjp(lambda x_, w_: conv2d_dense(x_, w_, pads,
+                                                   interpret=True), x, w)
+    _, vjp_r = jax.vjp(lambda x_, w_: _lax_conv(x_, w_, pads), x, w)
+    for a, b in zip(vjp_p(g), vjp_r(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_conv2d_double_grad_r1(rng):
+    """R1 needs reverse-over-reverse through D's convs; the custom-vjp
+    Pallas conv must support it with exact values (D path gate)."""
+    from vspbfr_tpu.ops.pallas_conv import _lax_conv, conv2d_dense
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 128)).astype(np.float32)
+                    * 0.05)
+    pads = ((1, 1), (1, 1))
+
+    def r1_grad(conv):
+        def f(w_, x_):
+            g = jax.grad(lambda a, b: jnp.sum(conv(a, b) ** 2))(x_, w_)
+            return jnp.sum(g ** 2)
+        return jax.grad(f)(w, x)
+
+    gp = r1_grad(lambda a, b: conv2d_dense(a, b, pads, interpret=True))
+    gx = r1_grad(lambda a, b: _lax_conv(a, b, pads))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-3, atol=2e-3)

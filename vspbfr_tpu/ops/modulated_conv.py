@@ -33,6 +33,11 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding=0,
     """Plain conv, NHWC x HWIO -> NHWC. padding: int or ((t,b),(l,r))."""
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    if stride == 1 and dilation == 1 and groups == 1:
+        # Pallas fast path for wide stride-1 convs (1.6-2x vs XLA; see
+        # ops/pallas_conv.py); falls back to XLA when not profitable
+        from vspbfr_tpu.ops.pallas_conv import conv2d_dense
+        return conv2d_dense(x, w, padding)
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride, stride),

@@ -41,6 +41,13 @@ import jax.numpy as jnp
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+def _conv(x, wp, pady, padx):
+    """Stride-1 dense conv via the gated Pallas fast path
+    (ops/pallas_conv.py) with XLA fallback."""
+    from vspbfr_tpu.ops.pallas_conv import conv2d_dense
+    return conv2d_dense(x, wp, (pady, padx))
+
+
 # ---------------------------------------------------------------------------
 # layout converters
 # ---------------------------------------------------------------------------
@@ -213,6 +220,8 @@ def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
         for ph in range(4):
             wd = wd.at[:, :, ph * ci:(ph + 1) * ci,
                        ph * co:(ph + 1) * co].set(w)
+        if d2 == 1:
+            return _conv(x, wd, (p2, p2), (p2, p2))
         return jax.lax.conv_general_dilated(
             x, wd.astype(x.dtype), (1, 1), ((p2, p2), (p2, p2)),
             rhs_dilation=(d2, d2), dimension_numbers=_DN)
@@ -221,9 +230,7 @@ def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
     wp, (py0, py1), (px0, px1) = _assemble2(w, m, m, 2, 2)
     if in_ch_perm is not None:
         wp = jnp.take(wp, jnp.asarray(in_ch_perm), axis=2)
-    return jax.lax.conv_general_dilated(
-        x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
-        dimension_numbers=_DN)
+    return _conv(x, wp, (py0, py1), (px0, px1))
 
 
 def conv1x1_packed(x: jnp.ndarray, w: jnp.ndarray,
@@ -276,9 +283,7 @@ def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
     m = _map_up(dk, c0, packed_in)
     if not packed_in:
         wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 1, 2)
-        return jax.lax.conv_general_dilated(
-            x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
-            dimension_numbers=_DN)
+        return _conv(x, wp, (py0, py1), (px0, px1))
     wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 2, 4)
     co = w.shape[3]
     # out16 channels from _assemble2 are (Ay*4 + Ax)*Co with A = 2*g + a;
@@ -294,9 +299,7 @@ def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
                     old = (((2 * gy + ay) * 4) + (2 * gx + ax)) * co
                     perm[new:new + co] = np.arange(old, old + co)
     wp = jnp.take(wp, jnp.asarray(perm), axis=3)
-    out16 = jax.lax.conv_general_dilated(
-        x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
-        dimension_numbers=_DN)
+    out16 = _conv(x, wp, (py0, py1), (px0, px1))
     from vspbfr_tpu.ops.pallas_d2s import interleave_d2s
     return interleave_d2s(out16, 4 * co)
 
@@ -324,9 +327,7 @@ def up_conv_blur_unpacked(x: jnp.ndarray, w: jnp.ndarray,
 
     m = _map_up(dk, c0, False)
     wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 1, 2)
-    out4 = jax.lax.conv_general_dilated(
-        x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
-        dimension_numbers=_DN)                       # channels (gy, gx, Co)
+    out4 = _conv(x, wp, (py0, py1), (px0, px1))  # channels (gy, gx, Co)
     return interleave_d2s(out4, w.shape[3])
 
 
@@ -350,9 +351,7 @@ def blur_down_conv_packed(x: jnp.ndarray, w: jnp.ndarray,
 
     m = _map_down(dk, pad0)
     wp, (py0, py1), (px0, px1) = _assemble2(e2, m, m, 2, 1)
-    return jax.lax.conv_general_dilated(
-        x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
-        dimension_numbers=_DN)
+    return _conv(x, wp, (py0, py1), (px0, px1))
 
 
 def upsample2d_packed(x: jnp.ndarray, taps: tuple,
@@ -376,9 +375,7 @@ def upsample2d_packed(x: jnp.ndarray, taps: tuple,
     m = _map_up(lk, c0, packed_in)
     if not packed_in:
         wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 1, 2)
-        return jax.lax.conv_general_dilated(
-            x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
-            dimension_numbers=_DN)
+        return _conv(x, wp, (py0, py1), (px0, px1))
     wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 2, 4)
     perm = np.empty(16 * c, np.int32)
     for gy in range(2):
@@ -389,8 +386,6 @@ def upsample2d_packed(x: jnp.ndarray, taps: tuple,
                     old = (((2 * gy + ay) * 4) + (2 * gx + ax)) * c
                     perm[new:new + c] = np.arange(old, old + c)
     wp = jnp.take(wp, jnp.asarray(perm), axis=3)
-    out16 = jax.lax.conv_general_dilated(
-        x, wp.astype(x.dtype), (1, 1), ((py0, py1), (px0, px1)),
-        dimension_numbers=_DN)
+    out16 = _conv(x, wp, (py0, py1), (px0, px1))
     from vspbfr_tpu.ops.pallas_d2s import interleave_d2s
     return interleave_d2s(out16, 4 * c)

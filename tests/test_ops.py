@@ -381,3 +381,46 @@ def test_pallas_conv2d_double_grad_r1(rng):
     gx = r1_grad(lambda a, b: _lax_conv(a, b, pads))
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_conv_epilogue_matches_reference(rng):
+    """Fused epilogue kernel == XLA composition (interpret), incl. vjp and
+    the D-path double grad (ConvLayer activate routes through it)."""
+    from vspbfr_tpu.ops.pallas_epilogue import conv_epilogue, epilogue_ref
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 128)).astype(np.float32))
+    osc = jnp.asarray((rng.standard_normal((2, 128)) * 0.1 + 1)
+                      .astype(np.float32))
+    nz4 = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    nz1 = jnp.asarray(rng.standard_normal((2, 8, 8, 1)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((128,)).astype(np.float32))
+
+    for args in [(osc, nz4, bias, True), (None, nz1, bias, True),
+                 (None, None, bias, True), (osc, nz4, None, False),
+                 (None, None, None, True)]:
+        o, n, b_, act = args
+        ref = epilogue_ref(x, o, n, b_, act)
+        got = conv_epilogue(x, o, n, b_, act, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    # vjp vs reference
+    def f_p(x, o, n, b_):
+        return jnp.sum(conv_epilogue(x, o, n, b_, True, interpret=True) ** 2)
+
+    def f_r(x, o, n, b_):
+        return jnp.sum(epilogue_ref(x, o, n, b_, True) ** 2)
+
+    gp = jax.grad(f_p, argnums=(0, 1, 2, 3))(x, osc, nz4, bias)
+    gr = jax.grad(f_r, argnums=(0, 1, 2, 3))(x, osc, nz4, bias)
+    for a, b2 in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-4, atol=1e-4)
+
+    # double grad (R1 through D's ConvLayer activations)
+    def r1(b_, x):
+        g = jax.grad(lambda x_: jnp.sum(
+            conv_epilogue(x_, None, None, b_, True, interpret=True) ** 2))(x)
+        return jnp.sum(g ** 2)
+    gg = jax.grad(r1)(bias, x)
+    assert bool(jnp.all(jnp.isfinite(gg)))

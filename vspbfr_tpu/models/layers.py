@@ -150,36 +150,49 @@ class EqualConv2d(nn.Module):
 
 
 class FusedLeakyReLU(nn.Module):
-    """Per-channel learnable bias + lrelu*sqrt(2) (`op/fused_act.py:199-213`)."""
+    """Per-channel learnable bias + lrelu*sqrt(2) (`op/fused_act.py:199-213`).
+
+    return_bias=True returns the (packed) bias vector instead of applying —
+    used by the fused conv-epilogue path (same params either way)."""
 
     features: int
     use_bias: bool = True
     packed: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray | None,
+                 return_bias: bool = False):
         b = (self.param("bias", nn.initializers.zeros, (self.features,))
              if self.use_bias else None)
         if self.packed and b is not None:
             from vspbfr_tpu.ops.packed import pack_vector
             b = pack_vector(b)
+        if return_bias:
+            return b
         return fused_leaky_relu(x, b)
 
 
 class NoiseInjection(nn.Module):
     """image + weight * noise, scalar learnable weight
-    (`models/RestoreNet.py:557-569`)."""
+    (`models/RestoreNet.py:557-569`).
+
+    return_parts=True returns (weight, noise) without applying (noise drawn
+    from the module's own 'noise' rng stream when not given) — consumed by
+    the fused conv-epilogue path."""
 
     packed: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, noise: jnp.ndarray | None = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, noise: jnp.ndarray | None = None,
+                 return_parts: bool = False):
         w = self.param("weight", nn.initializers.zeros, (1,))
         if not self.packed:
             if noise is None:
                 b, h, wd, _ = x.shape
                 noise = jax.random.normal(self.make_rng("noise"),
                                           (b, h, wd, 1), x.dtype)
+            if return_parts:
+                return w, noise
             return x + w * noise
         b, h, wd, c4 = x.shape
         if noise is None:
@@ -193,6 +206,8 @@ class NoiseInjection(nn.Module):
         else:
             from vspbfr_tpu.ops.packed import space_to_depth
             noise = space_to_depth(noise)  # (B, 2h, 2w, 1) -> (B, h, w, 4)
+        if return_parts:
+            return w, noise
         # phase -> channel-group expansion as a tiny matmul: XLA's lane-dim
         # jnp.repeat lowers pathologically (measured 6.6 ms alone at
         # (4,512,512,4->128) on v5e vs ~1 ms for the dot form)
@@ -232,7 +247,8 @@ class ModulatedConv2d(nn.Module):
     packed_out: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
+                 return_demod: bool = False):
         c_in = x.shape[-1] // (4 if self.packed_in else 1)
         if not self.external_modulation:
             style = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
@@ -247,6 +263,7 @@ class ModulatedConv2d(nn.Module):
             blur_kernel=tuple(self.blur_kernel),
             packed_in=self.packed_in,
             packed_out=self.packed_out,
+            return_demod=return_demod,
         )
 
 
@@ -267,7 +284,9 @@ class StyledConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
                  noise: jnp.ndarray | None = None) -> jnp.ndarray:
-        out = ModulatedConv2d(
+        from vspbfr_tpu.ops.pallas_epilogue import conv_epilogue
+
+        out, dv = ModulatedConv2d(
             self.features, self.kernel_size,
             demodulate=self.demodulate,
             upsample=self.upsample,
@@ -276,10 +295,13 @@ class StyledConv(nn.Module):
             packed_in=self.packed_in,
             packed_out=self.packed_out,
             name="conv",
-        )(x, style)
-        out = NoiseInjection(packed=self.packed_out, name="noise")(out, noise)
-        return FusedLeakyReLU(self.features, packed=self.packed_out,
-                              name="activate")(out)
+        )(x, style, return_demod=True)
+        w_n, nz = NoiseInjection(packed=self.packed_out,
+                                 name="noise")(out, noise, return_parts=True)
+        bias = FusedLeakyReLU(self.features, packed=self.packed_out,
+                              name="activate")(None, return_bias=True)
+        # demod-scale + noise + bias + lrelu in one fused pass
+        return conv_epilogue(out, dv, w_n * nz, bias, act=True)
 
 
 class ToRGB(nn.Module):
@@ -327,6 +349,8 @@ class ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from vspbfr_tpu.ops.pallas_epilogue import conv_epilogue
+
         k = self.kernel_size
         if self.packed:
             assert not self.downsample
@@ -336,8 +360,10 @@ class ConvLayer(nn.Module):
                               packed_in_perm=self.packed_in_perm,
                               name="conv")(x)
             if self.activate:
-                out = FusedLeakyReLU(self.features, use_bias=self.use_bias,
-                                     packed=True, name="activate")(out)
+                bias = FusedLeakyReLU(self.features, use_bias=self.use_bias,
+                                      packed=True,
+                                      name="activate")(None, return_bias=True)
+                out = conv_epilogue(out, None, None, bias, act=True)
             return out
         if self.downsample:
             # blur + stride-2 conv fused into one strided conv with the
@@ -354,8 +380,9 @@ class ConvLayer(nn.Module):
                               use_bias=self.use_bias and not self.activate,
                               name="conv")(x)
         if self.activate:
-            out = FusedLeakyReLU(self.features, use_bias=self.use_bias,
-                                 name="activate")(out)
+            bias = FusedLeakyReLU(self.features, use_bias=self.use_bias,
+                                  name="activate")(None, return_bias=True)
+            out = conv_epilogue(out, None, None, bias, act=True)
         return out
 
 
@@ -424,10 +451,13 @@ class SMARTLayer(nn.Module):
                 if self.packed else None)
         out = ConvLayer(self.features, 3, packed=self.packed,
                         packed_in_perm=perm, name="fusion")(out)
-        out = NoiseInjection(packed=self.packed, name="noise")(out, noise)
-        if self.activate:
-            out = FusedLeakyReLU(self.features, packed=self.packed,
-                                 name="activate")(out)
+        from vspbfr_tpu.ops.pallas_epilogue import conv_epilogue
+        w_n, nz = NoiseInjection(packed=self.packed,
+                                 name="noise")(out, noise, return_parts=True)
+        bias = (FusedLeakyReLU(self.features, packed=self.packed,
+                               name="activate")(None, return_bias=True)
+                if self.activate else None)
+        out = conv_epilogue(out, None, w_n * nz, bias, act=self.activate)
         if return_intermediates:
             return out, outs + [out]
         return out

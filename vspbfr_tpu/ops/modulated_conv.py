@@ -225,6 +225,7 @@ def _modulated_conv2d_packed(
     eps: float,
     packed_in: bool,
     packed_out: bool,
+    return_demod: bool = False,
 ) -> jnp.ndarray:
     """Packed-layout modulated conv (see ops/packed.py). x is (B,h,w,4Ci)
     when packed_in else (B,H,W,Ci); output packed iff packed_out. The math
@@ -262,8 +263,10 @@ def _modulated_conv2d_packed(
             out = pk.conv2d_packed(xs, ws, dilation=dilation,
                                    groups_hint=hint)
 
+    dv = (pk.pack_vector(d) if packed_out else d) if demodulate else None
+    if return_demod:
+        return out, dv
     if demodulate:
-        dv = pk.pack_vector(d) if packed_out else d
         out = out * dv[:, None, None, :]
     return out
 
@@ -281,6 +284,7 @@ def modulated_conv2d(
     eps: float = 1e-8,
     packed_in: bool = False,
     packed_out: bool = False,
+    return_demod: bool = False,
 ) -> jnp.ndarray:
     """Style-modulated conv. x: (B,H,W,Cin), w: (kh,kw,Cin,Cout), style: (B,Cin).
 
@@ -294,7 +298,8 @@ def modulated_conv2d(
         return _modulated_conv2d_packed(
             x, w, style, demodulate=demodulate, up=up, down=down,
             dilation=dilation, blur_kernel=blur_kernel, eps=eps,
-            packed_in=packed_in, packed_out=packed_out)
+            packed_in=packed_in, packed_out=packed_out,
+            return_demod=return_demod)
     kh, kw, c_in, c_out = w.shape
     assert kh == kw, "square kernels only"
     k = kh
@@ -347,6 +352,8 @@ def modulated_conv2d(
         padding = ((k - 1) * dilation) // 2
         out = conv2d(xs, ws, stride=1, padding=padding, dilation=dilation)
 
+    if return_demod:
+        return out, (d if demodulate else None)
     if demodulate:
         out = out * d[:, None, None, :]
     return out

@@ -240,28 +240,31 @@ def _modulated_conv2d_packed(
         d = demod_coeffs(w, style, scale, eps)   # (B, c_out)
 
     sty = pk.pack_vector(style) if packed_in else style
-    xs = x * sty[:, None, None, :]
     ws = scale * w
 
+    # the style multiply rides into the Pallas conv's input stripe
+    # (in_scale) where the fast path applies; other paths multiply inline
     if up:
         assert packed_out and dilation == 1
         taps = tuple(blur_kernel)
-        out = pk.up_conv_blur_packed(xs, ws, taps, packed_in=packed_in)
+        out = pk.up_conv_blur_packed(x, ws, taps, packed_in=packed_in,
+                                     in_scale=sty)
     elif down:
         assert packed_in and not packed_out and dilation == 1
-        out = pk.blur_down_conv_packed(xs, ws, tuple(blur_kernel))
+        out = pk.blur_down_conv_packed(x, ws, tuple(blur_kernel),
+                                       in_scale=sty)
     else:
         assert packed_in and packed_out
         if k == 1:
-            out = pk.conv1x1_packed(xs, ws)
+            out = pk.conv1x1_packed(x * sty[:, None, None, :], ws)
         else:
             # dense lowering beats XLA's grouped convs at the production
             # widths: grouped d=4/8 branches ran 5-7 TF/s vs 60+ TF/s dense
             # (scripts/exp_smart_ablate.py on v5e at 4C=256); keep grouped
             # only for packed widths >= 512 which no current config hits
             hint = dilation >= 4 and x.shape[-1] >= 512
-            out = pk.conv2d_packed(xs, ws, dilation=dilation,
-                                   groups_hint=hint)
+            out = pk.conv2d_packed(x, ws, dilation=dilation,
+                                   groups_hint=hint, in_scale=sty)
 
     dv = (pk.pack_vector(d) if packed_out else d) if demodulate else None
     if return_demod:
@@ -350,7 +353,13 @@ def modulated_conv2d(
             out = conv2d(xs, ws, stride=2, padding=0, dilation=dilation)
     else:
         padding = ((k - 1) * dilation) // 2
-        out = conv2d(xs, ws, stride=1, padding=padding, dilation=dilation)
+        if dilation == 1:
+            # fold the style multiply into the Pallas conv input stripe
+            from vspbfr_tpu.ops.pallas_conv import conv2d_dense
+            out = conv2d_dense(x, ws, ((padding, padding), (padding, padding)),
+                               in_scale=style)
+        else:
+            out = conv2d(xs, ws, stride=1, padding=padding, dilation=dilation)
 
     if return_demod:
         return out, (d if demodulate else None)

@@ -41,11 +41,12 @@ import jax.numpy as jnp
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _conv(x, wp, pady, padx):
+def _conv(x, wp, pady, padx, in_scale=None):
     """Stride-1 dense conv via the gated Pallas fast path
-    (ops/pallas_conv.py) with XLA fallback."""
+    (ops/pallas_conv.py) with XLA fallback. in_scale: (B, C_in_packed)
+    per-sample scale folded into the kernel's input stripe."""
     from vspbfr_tpu.ops.pallas_conv import conv2d_dense
-    return conv2d_dense(x, wp, (pady, padx))
+    return conv2d_dense(x, wp, (pady, padx), in_scale=in_scale)
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +190,8 @@ def _map_down(dk: int, pad0: int):
 
 def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
                   groups_hint: bool = True,
-                  in_ch_perm: jnp.ndarray | None = None) -> jnp.ndarray:
+                  in_ch_perm: jnp.ndarray | None = None,
+                  in_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """Stride-1 'same' conv on a packed tensor == packed(conv(unpacked)).
 
     x: (B, h, w, 4Ci) packed; w: (k, k, Ci, Co) the UNPACKED kernel.
@@ -206,9 +208,14 @@ def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
     pad = ((k - 1) * dilation) // 2
     if dilation % 2 == 0:
         assert in_ch_perm is None
+        if in_scale is not None and dilation != 2:
+            x = x * in_scale[:, None, None, :]
+            in_scale = None
         d2 = dilation // 2
         p2 = ((k - 1) * d2) // 2  # the unpacked pad halves on the half grid
         if groups_hint:
+            if in_scale is not None:
+                x = x * in_scale[:, None, None, :]
             # one group per phase, shared weights: tile Co 4x, block by phase
             wg = jnp.concatenate([w] * 4, axis=-1)  # (k,k,Ci,4Co)
             return jax.lax.conv_general_dilated(
@@ -221,7 +228,9 @@ def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
             wd = wd.at[:, :, ph * ci:(ph + 1) * ci,
                        ph * co:(ph + 1) * co].set(w)
         if d2 == 1:
-            return _conv(x, wd, (p2, p2), (p2, p2))
+            return _conv(x, wd, (p2, p2), (p2, p2), in_scale=in_scale)
+        if in_scale is not None:
+            x = x * in_scale[:, None, None, :]
         return jax.lax.conv_general_dilated(
             x, wd.astype(x.dtype), (1, 1), ((p2, p2), (p2, p2)),
             rhs_dilation=(d2, d2), dimension_numbers=_DN)
@@ -230,7 +239,7 @@ def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
     wp, (py0, py1), (px0, px1) = _assemble2(w, m, m, 2, 2)
     if in_ch_perm is not None:
         wp = jnp.take(wp, jnp.asarray(in_ch_perm), axis=2)
-    return _conv(x, wp, (py0, py1), (px0, px1))
+    return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale)
 
 
 def conv1x1_packed(x: jnp.ndarray, w: jnp.ndarray,
@@ -258,7 +267,8 @@ def conv1x1_packed(x: jnp.ndarray, w: jnp.ndarray,
 
 
 def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
-                        packed_in: bool) -> jnp.ndarray:
+                        packed_in: bool,
+                        in_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """StyleGAN2 up path (transposed stride-2 conv k=3 + FIR blur with the
     reference pad arithmetic, `models/RestoreNet.py:297-312`) emitting a
     PACKED output at 2x the resolution.
@@ -283,7 +293,7 @@ def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
     m = _map_up(dk, c0, packed_in)
     if not packed_in:
         wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 1, 2)
-        return _conv(x, wp, (py0, py1), (px0, px1))
+        return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale)
     wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 2, 4)
     co = w.shape[3]
     # out16 channels from _assemble2 are (Ay*4 + Ax)*Co with A = 2*g + a;
@@ -299,7 +309,7 @@ def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
                     old = (((2 * gy + ay) * 4) + (2 * gx + ax)) * co
                     perm[new:new + co] = np.arange(old, old + co)
     wp = jnp.take(wp, jnp.asarray(perm), axis=3)
-    out16 = _conv(x, wp, (py0, py1), (px0, px1))
+    out16 = _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale)
     from vspbfr_tpu.ops.pallas_d2s import interleave_d2s
     return interleave_d2s(out16, 4 * co)
 
@@ -331,8 +341,8 @@ def up_conv_blur_unpacked(x: jnp.ndarray, w: jnp.ndarray,
     return interleave_d2s(out4, w.shape[3])
 
 
-def blur_down_conv_packed(x: jnp.ndarray, w: jnp.ndarray,
-                          taps: tuple) -> jnp.ndarray:
+def blur_down_conv_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
+                          in_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """StyleGAN2 down path (FIR blur + stride-2 conv,
     `models/RestoreNet.py:398-418`) consuming a PACKED input.
 
@@ -351,7 +361,7 @@ def blur_down_conv_packed(x: jnp.ndarray, w: jnp.ndarray,
 
     m = _map_down(dk, pad0)
     wp, (py0, py1), (px0, px1) = _assemble2(e2, m, m, 2, 1)
-    return _conv(x, wp, (py0, py1), (px0, px1))
+    return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale)
 
 
 def upsample2d_packed(x: jnp.ndarray, taps: tuple,

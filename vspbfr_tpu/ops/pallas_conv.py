@@ -26,8 +26,17 @@ from __future__ import annotations
 
 import functools
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _pallas_enabled() -> bool:
+    """Trace-time kill switch: VSPBFR_PALLAS=0 routes every op to its
+    XLA fallback (identical math) — e.g. to bound compile-host memory
+    on very large training graphs."""
+    return os.environ.get("VSPBFR_PALLAS", "1") != "0"
 
 
 def _lax_conv(x, w, pads):
@@ -37,7 +46,7 @@ def _lax_conv(x, w, pads):
 
 
 def _use_pallas(x, w) -> bool:
-    if jax.default_backend() != "tpu":
+    if not _pallas_enabled() or jax.default_backend() != "tpu":
         return False
     b, h, wd, ci = x.shape
     co = w.shape[3]
@@ -57,7 +66,8 @@ def _pick_ht(oh, kh, wpi, ci, ow, co, itemsize) -> int:
     return 1
 
 
-def _conv_kernel(x_hbm, w_ref, o_ref, xs_ref, sem, *, h_t, kh, kw, ow, co):
+def _conv_kernel(x_hbm, w_ref, isc_ref, o_ref, xs_ref, sem, *, h_t, kh, kw,
+                 ow, co, has_isc):
     import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -68,6 +78,10 @@ def _conv_kernel(x_hbm, w_ref, o_ref, xs_ref, sem, *, h_t, kh, kw, ow, co):
         x_hbm.at[bb, pl.ds(ih * h_t, h_t + kh - 1)], xs_ref, sem)
     cp.start()
     cp.wait()
+    if has_isc:
+        # fold the per-(batch, in-channel) style scale into the resident
+        # stripe once (saves the producer's full x*style HBM pass)
+        xs_ref[...] = xs_ref[...] * isc_ref[pl.ds(bb, 1), :][None]
     acc = jnp.zeros((h_t, ow, co), jnp.float32)
     for ty in range(kh):
         for tx in range(kw):
@@ -79,7 +93,7 @@ def _conv_kernel(x_hbm, w_ref, o_ref, xs_ref, sem, *, h_t, kh, kw, ow, co):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _conv_pallas(x, w, pads, interpret=False):
+def _conv_pallas(x, w, pads, in_scale=None, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -95,11 +109,15 @@ def _conv_pallas(x, w, pads, interpret=False):
     wpi = wd + px0 + px1 + wx_extra
     h_t = _pick_ht(oh, kh, wpi, ci, ow, co, itemsize)
 
+    has_isc = in_scale is not None
+    isc = (in_scale if has_isc else jnp.ones((b, 1))).astype(x.dtype)
     return pl.pallas_call(
-        functools.partial(_conv_kernel, h_t=h_t, kh=kh, kw=kw, ow=ow, co=co),
+        functools.partial(_conv_kernel, h_t=h_t, kh=kh, kw=kw, ow=ow, co=co,
+                          has_isc=has_isc),
         out_shape=jax.ShapeDtypeStruct((b, oh, ow, co), x.dtype),
         grid=(b, oh // h_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, h_t, ow, co),
                                lambda bb, ih: (bb, ih, 0, 0)),
@@ -110,44 +128,58 @@ def _conv_pallas(x, w, pads, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xpad, w.astype(x.dtype))
+    )(xpad, w.astype(x.dtype), isc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _conv_vjp(x, w, pads, interpret=False):
-    return _conv_pallas(x, w, pads, interpret)
+def _scaled_ref(x, w, in_scale, pads):
+    xs = x if in_scale is None else x * in_scale[:, None, None, :]
+    return _lax_conv(xs, w, pads)
 
 
-def _conv_fwd(x, w, pads, interpret=False):
-    return _conv_vjp(x, w, pads, interpret), (x, w)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv_vjp(x, w, in_scale, pads, interpret=False):
+    return _conv_pallas(x, w, pads, in_scale, interpret)
+
+
+def _conv_fwd(x, w, in_scale, pads, interpret=False):
+    return _conv_vjp(x, w, in_scale, pads, interpret), (x, w, in_scale)
 
 
 def _conv_bwd(pads, interpret, res, g):
-    x, w = res
-    # dx is itself a stride-1 dense conv (spatially flipped, in/out-
-    # transposed kernel) -> reuse the Pallas fast path; dw via XLA's vjp
+    x, w, in_scale = res
+    # dxs is itself a stride-1 dense conv (spatially flipped, in/out-
+    # transposed kernel) -> reuse the Pallas fast path; dw/discale via
+    # XLA's vjp of the reference composition
     kh, kw = w.shape[0], w.shape[1]
     (py0, py1), (px0, px1) = pads
     wt = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2))
-    dx = conv2d_dense(g, wt, ((kh - 1 - py0, kh - 1 - py1),
-                              (kw - 1 - px0, kw - 1 - px1)),
-                      interpret=interpret)
-    _, vjp_w = jax.vjp(lambda w_: _lax_conv(x, w_, pads), w)
+    dxs = conv2d_dense(g, wt, ((kh - 1 - py0, kh - 1 - py1),
+                               (kw - 1 - px0, kw - 1 - px1)),
+                       interpret=interpret)
+    if in_scale is None:
+        dx, discale = dxs, None
+    else:
+        dx = dxs * in_scale[:, None, None, :]
+        discale = jnp.sum(dxs * x, axis=(1, 2))
+    _, vjp_w = jax.vjp(lambda w_: _scaled_ref(x, w_, in_scale, pads), w)
     (dw,) = vjp_w(g)
-    return dx, dw
+    return dx, dw, discale
 
 
 _conv_vjp.defvjp(_conv_fwd, _conv_bwd)
 
 
 def conv2d_dense(x: jnp.ndarray, w: jnp.ndarray, pads,
+                 in_scale: jnp.ndarray | None = None,
                  interpret: bool = False) -> jnp.ndarray:
     """Stride-1, dilation-1 'valid+explicit pads' conv, NHWC x HWIO.
 
-    pads: ((py0, py1), (px0, px1)). Dispatches to the Pallas kernel when
+    pads: ((py0, py1), (px0, px1)). in_scale: optional (B, Ci) per-sample
+    input-channel scale (the modulated-conv style multiply) folded into the
+    kernel's resident stripe. Dispatches to the Pallas kernel when
     profitable (TPU, 128-aligned channels, enough pixels), else XLA.
     """
     pads = tuple((int(a), int(b)) for a, b in pads)
     if interpret or _use_pallas(x, w):
-        return _conv_vjp(x, w, pads, interpret)
-    return _lax_conv(x, w, pads)
+        return _conv_vjp(x, w, in_scale, pads, interpret)
+    return _scaled_ref(x, w, in_scale, pads)

@@ -29,8 +29,17 @@ from __future__ import annotations
 
 import functools
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _pallas_enabled() -> bool:
+    """Trace-time kill switch: VSPBFR_PALLAS=0 routes every op to its
+    XLA fallback (identical math) — e.g. to bound compile-host memory
+    on very large training graphs."""
+    return os.environ.get("VSPBFR_PALLAS", "1") != "0"
 
 
 def _pick_ht(h: int, row_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
@@ -41,7 +50,7 @@ def _pick_ht(h: int, row_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
 
 
 def _use_pallas(b, h, w, inner, dtype) -> bool:
-    if jax.default_backend() != "tpu":
+    if not _pallas_enabled() or jax.default_backend() != "tpu":
         return False
     itemsize = jnp.dtype(dtype).itemsize
     sub_min = 16 // itemsize  # f32: 8, bf16: 16 sublane tile

@@ -130,18 +130,21 @@ class RestoreTrainer:
             fwd = jax.checkpoint(fwd)
         return fwd(d_params, x)
 
-    def train_step(self, g_state: TrainState, d_state: TrainState,
-                   g_ema: Any, frozen: Any, low: jnp.ndarray,
-                   real: jnp.ndarray, rng: jax.Array,
-                   ada_state: ADAState | None = None):
+    def d_phase(self, d_state: TrainState, g_params: Any, g_step: jnp.ndarray,
+                frozen: Any, low: jnp.ndarray, real: jnp.ndarray,
+                rng: jax.Array, ada_state: ADAState | None = None):
+        """Embedding + D update + ADA tune + lazy R1. Returns the shared
+        frozen embedding for the G phase (reference reuses de_feats /
+        infer_embedding across both halves, `restoration_train.py:166-232`).
+        Jitted separately from the G phase: the union graph exceeds the
+        TPU compile helper's memory at 512px."""
         cfg = self.cfg
-        (k_embed, k_gen_d, k_gen_g, k_aug_r, k_aug_f,
-         k_aug_g) = jax.random.split(rng, 6)
+        (k_embed, k_gen_d, k_aug_r, k_aug_f) = jax.random.split(rng, 4)
         clean, feats = self._frozen_embedding(frozen, low, k_embed)
 
         # ---- D step (`restoration_train.py:164-194`)
         fake_d = jax.lax.stop_gradient(
-            self._generate(g_state.params, low, feats, clean, k_gen_d))
+            self._generate(g_params, low, feats, clean, k_gen_d))
 
         # optional ADA (`restoration_train.py:175-181`)
         real_d = real
@@ -182,21 +185,35 @@ class RestoreTrainer:
                 d_state.params)
             return d_state.apply_gradients(grads), pen
 
-        do_r1 = (g_state.step % cfg.d_reg_every) == 0
+        do_r1 = (g_step % cfg.d_reg_every) == 0
         d_state, r1_val = jax.lax.cond(
             do_r1, r1_update,
             lambda s: (s, jnp.zeros(())), d_state)
 
-        # ---- G step (`restoration_train.py:221-249`); the loss-net terms
-        # are gated by weight > 0 exactly like the reference flags
-        # (`restoration_train.py:236-245`) — weight 0 removes the whole
-        # subgraph from the compiled program
+        d_metrics = {
+            "d": d_loss, "r1": r1_val, "real_score": real_score,
+            "fake_score": fake_score,
+        }
+        return d_state, clean, feats, d_metrics, ada_state
+
+    def g_phase(self, g_state: TrainState, g_ema: Any, d_params: Any,
+                frozen: Any, low: jnp.ndarray, real: jnp.ndarray,
+                clean: jnp.ndarray, feats: Any, rng: jax.Array,
+                ada_p: jnp.ndarray | None = None):
+        """G update (`restoration_train.py:221-249`) + EMA, against the
+        already-updated D and the D phase's frozen embedding."""
+        cfg = self.cfg
+        k_gen_g, k_aug_g = jax.random.split(rng)
+
+        # the loss-net terms are gated by weight > 0 exactly like the
+        # reference flags (`restoration_train.py:236-245`) — weight 0
+        # removes the whole subgraph from the compiled program
         def g_loss_fn(g_params):
             fake = self._generate(g_params, low, feats, clean, k_gen_g)
             fake_for_d = fake
-            if cfg.augment and ada_state is not None:
-                fake_for_d = augment(k_aug_g, fake, ada_state.p)
-            fake_pred = self._disc_apply(d_state.params, fake_for_d)
+            if cfg.augment and ada_p is not None:
+                fake_for_d = augment(k_aug_g, fake, ada_p)
+            fake_pred = self._disc_apply(d_params, fake_for_d)
             gan = g_nonsaturating_loss(fake_pred)
             percept = ident = jnp.zeros(())
             if cfg.percept_weight > 0:
@@ -213,35 +230,68 @@ class RestoreTrainer:
 
         g_ema = ema_update(g_ema, g_state.params, cfg.ema_decay)
 
-        metrics = {
-            "d": d_loss, "g": g_loss, "gan": gan_l, "percept": percept_l,
-            "id": id_l, "r1": r1_val, "real_score": real_score,
-            "fake_score": fake_score,
-        }
-        if cfg.augment and ada_state is not None:
-            metrics["ada_p"] = ada_state.p
-            return g_state, d_state, g_ema, metrics, ada_state
-        return g_state, d_state, g_ema, metrics
+        g_metrics = {"g": g_loss, "gan": gan_l, "percept": percept_l,
+                     "id": id_l}
+        return g_state, g_ema, g_metrics
 
     # -- jit/sharding -------------------------------------------------------
 
     def jit_step(self, mesh=None):
-        """Jit the step; with a mesh, shard (low, real) on the data axis and
-        replicate states (XLA then all-reduces grads over ICI)."""
-        step = functools.partial(self.train_step)
-        # donate the mutable states: without donation the step holds two
-        # copies of G/D params + optimizer moments + EMA (OOM at 512px)
-        donate = (0, 1, 2) + ((7,) if self.cfg.augment else ())
-        if mesh is None:
-            return jax.jit(step, donate_argnums=donate)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        n_out = 5 if self.cfg.augment else 4
-        return jax.jit(
-            step,
-            in_shardings=(repl, repl, repl, repl, data, data, repl) +
-                         ((repl,) if self.cfg.augment else ()),
-            out_shardings=(repl,) * n_out,
-            donate_argnums=donate,
-        )
+        """Build the per-iteration step: TWO jitted programs (D phase incl.
+        embedding/ADA/R1; G phase incl. EMA) composed by a thin host
+        wrapper with the same signature/returns as the old monolith. The
+        split exists because the union graph exceeds the TPU compile
+        helper's memory at 512px; the frozen embedding tensors flow
+        between the two programs on-device.
+
+        With a mesh, (low, real) and the inter-phase embedding are sharded
+        on the data axis and states replicated (XLA all-reduces grads)."""
+        aug = self.cfg.augment
+        kw_d: dict = {}
+        kw_g: dict = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            kw_d = dict(
+                in_shardings=(repl, repl, repl, repl, data, data, repl) +
+                             ((repl,) if aug else ()),
+                out_shardings=(repl, data, data, repl, repl),
+            )
+            kw_g = dict(
+                in_shardings=(repl, repl, repl, repl, data, data, data,
+                              data, repl) + ((repl,) if aug else ()),
+                out_shardings=(repl, repl, repl),
+            )
+
+        def d_phase(d_state, g_params, g_step, frozen, low, real, rng,
+                    ada_state=None):
+            return self.d_phase(d_state, g_params, g_step, frozen, low,
+                                real, rng, ada_state)
+
+        def g_phase(g_state, g_ema, d_params, frozen, low, real, clean,
+                    feats, rng, ada_p=None):
+            return self.g_phase(g_state, g_ema, d_params, frozen, low,
+                                real, clean, feats, rng, ada_p)
+
+        jit_d = jax.jit(d_phase, donate_argnums=(0,) + ((7,) if aug else ()),
+                        **kw_d)
+        jit_g = jax.jit(g_phase, donate_argnums=(0, 1), **kw_g)
+
+        def step(g_state, d_state, g_ema, frozen, low, real, rng,
+                 ada_state=None):
+            k_d, k_g = jax.random.split(rng)
+            d_state, clean, feats, d_metrics, ada_state = jit_d(
+                d_state, g_state.params, g_state.step, frozen, low, real,
+                k_d, *((ada_state,) if aug else ()))
+            g_state, g_ema, g_metrics = jit_g(
+                g_state, g_ema, d_state.params, frozen, low, real, clean,
+                feats, k_g,
+                *((ada_state.p,) if aug and ada_state is not None else ()))
+            metrics = {**d_metrics, **g_metrics}
+            if aug and ada_state is not None:
+                metrics["ada_p"] = ada_state.p
+                return g_state, d_state, g_ema, metrics, ada_state
+            return g_state, d_state, g_ema, metrics
+
+        return step

@@ -142,3 +142,25 @@ def test_upsample2d_packed(packed_in):
     out = upsample2d_packed(xin, TAPS, packed_in=packed_in)
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_modulated_conv_d12_merged_matches_separate(rng):
+    """d1+d2 merged packed conv == the two separate branch convs."""
+    from vspbfr_tpu.ops.modulated_conv import (modulated_conv2d,
+                                               modulated_conv2d_d12_packed)
+
+    b, hg, c, cb = 2, 8, 8, 2
+    x = jnp.asarray(rng.standard_normal((b, hg, hg, 4 * c)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((3, 3, c, cb)).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c, cb)).astype(np.float32))
+    sty = jnp.asarray((rng.standard_normal((b, c)) * 0.2 + 1)
+                      .astype(np.float32))
+    for demod in (True, False):
+        merged = modulated_conv2d_d12_packed(x, w1, w2, sty, demodulate=demod)
+        o1 = modulated_conv2d(x, w1, sty, dilation=1, demodulate=demod,
+                              packed_in=True, packed_out=True)
+        o2 = modulated_conv2d(x, w2, sty, dilation=2, demodulate=demod,
+                              packed_in=True, packed_out=True)
+        ref = jnp.concatenate([o1, o2], axis=-1)
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)

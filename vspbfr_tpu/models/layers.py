@@ -248,12 +248,15 @@ class ModulatedConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
-                 return_demod: bool = False):
+                 return_demod: bool = False, return_weight: bool = False):
         c_in = x.shape[-1] // (4 if self.packed_in else 1)
         if not self.external_modulation:
             style = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
         w = self.param("weight", _normal_init(),
                        (self.kernel_size, self.kernel_size, c_in, self.features))
+        if return_weight:
+            # param holder mode (fused multi-branch paths own the compute)
+            return w
         return modulated_conv2d(
             x, w, style,
             demodulate=self.demodulate,
@@ -429,8 +432,9 @@ class SMARTLayer(nn.Module):
         c_in = x.shape[-1] // (4 if self.packed else 1)
         mod = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
         branch = self.features // len(self.rates)
-        outs = [
-            ModulatedConv2d(
+
+        def branch_conv(i, rate, return_weight=False):
+            return ModulatedConv2d(
                 branch, self.kernel_size,
                 demodulate=self.demodulate,
                 upsample=self.upsample,
@@ -440,9 +444,26 @@ class SMARTLayer(nn.Module):
                 packed_in=self.packed,
                 packed_out=self.packed,
                 name=f"dilated_{i}",
-            )(x, mod)
-            for i, rate in enumerate(self.rates)
-        ]
+            )(x, mod, return_weight=return_weight)
+
+        merge_d12 = (self.packed and not self.upsample
+                     and self.kernel_size == 3
+                     and tuple(self.rates)[:2] == (1, 2)
+                     and not return_intermediates)
+        if merge_d12:
+            # d=1 and d=2 share the packed 3x3 footprint: one conv with
+            # 2x the output lanes (Pallas-eligible at Cb = C/4)
+            from vspbfr_tpu.ops.modulated_conv import \
+                modulated_conv2d_d12_packed
+            w1 = branch_conv(0, 1, return_weight=True)
+            w2 = branch_conv(1, 2, return_weight=True)
+            out12 = modulated_conv2d_d12_packed(x, w1, w2, mod,
+                                                demodulate=self.demodulate)
+            outs = [out12] + [branch_conv(i, r)
+                              for i, r in enumerate(self.rates) if i >= 2]
+        else:
+            outs = [branch_conv(i, rate)
+                    for i, rate in enumerate(self.rates)]
         out = jnp.concatenate(outs, axis=-1)
         # packed branch outputs concat branch-major (br, ph, cb); instead of
         # reshuffling the tensor to phase-major, fold the permutation into

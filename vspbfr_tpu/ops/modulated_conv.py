@@ -198,6 +198,47 @@ def fused_blur_strided_conv(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
         dimension_numbers=_DN)
 
 
+def modulated_conv2d_d12_packed(x: jnp.ndarray, w1: jnp.ndarray,
+                                w2: jnp.ndarray, style: jnp.ndarray,
+                                demodulate: bool = True,
+                                eps: float = 1e-8) -> jnp.ndarray:
+    """SMART's dilation-1 and dilation-2 branches as ONE packed conv.
+
+    On the space-to-depth half grid both branches assemble to a 3x3,
+    pad-(1,1) kernel (d=1 mixes phases, d=2 is phase-diagonal at half-grid
+    dilation 1), so their assembled kernels concat along the output
+    channels into a single (3,3,4C,8Cb) conv — 128 output lanes at
+    Cb = C/4, unlocking the Pallas fast path that each 64-lane branch
+    missed. Output channels: [d1 phase-major 4Cb | d2 phase-major 4Cb]
+    (the branch-major layout SMART's fusion perm consumes).
+
+    x: (B,h,w,4C) packed; w1/w2: (3,3,C,Cb) unpacked branch kernels;
+    style: (B,C) modulation. Cites `models/RestoreNet.py:196-209` (the
+    rates-[1,2] branch pair of the SMART layer).
+    """
+    from vspbfr_tpu.ops import packed as pk
+
+    c_in, cb = w1.shape[2], w1.shape[3]
+    scale = 1.0 / ((c_in * 9) ** 0.5)
+    m = pk._map_s1(3, 1, 1)
+    wp1, (py0, py1), (px0, px1) = pk._assemble2(scale * w1, m, m, 2, 2)
+    assert (py0, py1, px0, px1) == (1, 1, 1, 1)
+    wd2 = jnp.zeros((3, 3, 4 * c_in, 4 * cb), w2.dtype)
+    for ph in range(4):
+        wd2 = wd2.at[:, :, ph * c_in:(ph + 1) * c_in,
+                     ph * cb:(ph + 1) * cb].set(scale * w2)
+    wp = jnp.concatenate([wp1, wd2], axis=3)       # (3,3,4C,8Cb)
+
+    sty = pk.pack_vector(style)
+    out = pk._conv(x, wp, (1, 1), (1, 1), in_scale=sty)
+    if demodulate:
+        d1 = demod_coeffs(w1, style, scale, eps)
+        d2 = demod_coeffs(w2, style, scale, eps)
+        dv = jnp.concatenate([pk.pack_vector(d1), pk.pack_vector(d2)], -1)
+        out = out * dv[:, None, None, :]
+    return out
+
+
 def demod_coeffs(w: jnp.ndarray, style: jnp.ndarray, scale: float,
                  eps: float = 1e-8) -> jnp.ndarray:
     """Per-(sample, out-channel) demodulation rsqrt(sum((scale*W*s)^2)+eps).

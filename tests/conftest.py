@@ -26,6 +26,12 @@ jax.config.update("jax_platforms", "cpu")
 # low-precision accumulation out of the comparison.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the trainer-step compiles dominate suite
+# wall-clock; identical HLO (by hash) hits disk on reruns.
+from vspbfr_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(min_compile_secs=10.0)
+
 
 @pytest.fixture
 def rng():

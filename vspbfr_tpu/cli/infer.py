@@ -65,7 +65,9 @@ def main(argv=None) -> None:
 
     @jax.jit
     def restore(params, low, rng):
-        return pipe.restore(params, low, rng)
+        # return_sample: the "visual style prompt" StyleGAN2 decode, dumped
+        # as *_sample.png like the reference (`restoration_test.py:134-157`)
+        return pipe.restore(params, low, rng, return_sample=True)
 
     hq_dirs = args.hq_dirs or ["None"] * len(args.lq_dirs)
     names = args.names or [f"data{i}" for i in range(len(args.lq_dirs))]
@@ -89,14 +91,17 @@ def main(argv=None) -> None:
                 low, fnames = batch
                 gt = None
             key, sub = jax.random.split(key)
-            restored = restore(params, jnp.asarray(low), sub)
+            restored, sample = restore(params, jnp.asarray(low), sub)
             restored = np.asarray(restored)
+            sample = np.asarray(sample)
             for j, fname in enumerate(fnames):
                 if args.save_images:
                     save_png(os.path.join(out_dir, f"{fname}_restore.png"),
                              restored[j])
                     save_png(os.path.join(out_dir, f"{fname}_low.png"),
                              low[j])
+                    save_png(os.path.join(out_dir, f"{fname}_sample.png"),
+                             sample[j])
                     if gt is not None:
                         save_png(os.path.join(out_dir, f"{fname}_gt.png"),
                                  gt[j])

@@ -13,6 +13,7 @@ import os
 import jax
 import jax.numpy as jnp
 
+from vspbfr_tpu.cli.common import wire_loss_nets
 from vspbfr_tpu.data import DataLoader, RestoreTrainDataset
 from vspbfr_tpu.parallel import DataParallel, create_mesh
 from vspbfr_tpu.parallel.mesh import maybe_initialize_distributed
@@ -34,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timesteps", type=int, default=4)
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--psp_ckpt", type=str, default=None)
+    p.add_argument("--lpips_ckpt", type=str, default=None,
+                   help="converted LPIPS VGG16+lin params "
+                        "(cli.convert_ckpt lpips)")
+    p.add_argument("--arcface_ckpt", type=str, default=None,
+                   help="converted ArcFace resnet101 params "
+                        "(cli.convert_ckpt arcface)")
     p.add_argument("--out", type=str, default="diffuser_out")
     p.add_argument("--save_inter", type=int, default=500)
     p.add_argument("--show_inter", type=int, default=2000)
@@ -43,6 +50,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true",
                    help="400-image subset + short intervals")
     return p
+
+
+def full_ckpt_tree(state, key, it):
+    """Params + optimizer state + RNG cursor, the reference's full resume
+    payload (`code_diffuser_train.py:233-244`, `:319-337`)."""
+    return {
+        "diffuser": state.params, "opt": state.opt_state,
+        "step": state.step, "rng": jax.random.key_data(key), "iter": it,
+    }
+
+
+def restore_full_ckpt(path, state, key):
+    """Returns the restored (state, key, start_iter); params-only fallback
+    for legacy checkpoints."""
+    template = full_ckpt_tree(state, key, 0)
+    try:
+        ck = load_checkpoint(path, target=template)
+        state = state.replace(params=ck["diffuser"], opt_state=ck["opt"],
+                              step=ck["step"])
+        key = jax.random.wrap_key_data(jnp.asarray(ck["rng"]))
+    except Exception as e:  # legacy params-only checkpoint
+        import warnings
+        warnings.warn(
+            f"full-state restore failed ({type(e).__name__}: {e}); "
+            "falling back to params-only resume")
+        ck = load_checkpoint(path)
+        state = state.replace(params=ck["diffuser"],
+                              opt_state=state.tx.init(ck["diffuser"]))
+    return state, key, int(ck.get("iter", 0))
 
 
 def main(argv=None) -> None:
@@ -67,13 +103,13 @@ def main(argv=None) -> None:
 
     state, frozen = jax.jit(trainer.init_states)(jax.random.key(args.seed))
     start_iter = 0
+    key = jax.random.key(args.seed + 1)
     if args.ckpt:
-        ck = load_checkpoint(args.ckpt)
-        state = state.replace(params=ck["diffuser"],
-                              opt_state=state.tx.init(ck["diffuser"]))
-        start_iter = int(ck.get("iter", 0))
+        state, key, start_iter = restore_full_ckpt(args.ckpt, state, key)
     if args.psp_ckpt:
         frozen = {**frozen, "psp": load_checkpoint(args.psp_ckpt)}
+    frozen = wire_loss_nets(frozen, args.lpips_ckpt, args.arcface_ckpt,
+                            args.percept_loss_weight, args.id_loss_weight)
 
     state, frozen = dp.replicate((state, frozen))
     step = trainer.jit_step(mesh)
@@ -93,9 +129,12 @@ def main(argv=None) -> None:
 
     sample_fn = jax.jit(_sample_fn)
 
-    # stage-2 dataset: single degraded copy, uint8-round-tripped GT
+    # stage-2 dataset: single degraded copy, uint8-round-tripped GT, and —
+    # unlike stage 3 — NO random grayscale (ImageFolder_restore is built
+    # with gray_prob=None, `/root/reference/dataset.py:42`)
     ds = RestoreTrainDataset(args.path, im_size=(args.size, args.size),
-                             n_degraded=1, quantize_gt=True, seed=args.seed,
+                             n_degraded=1, quantize_gt=True, gray_prob=None,
+                             seed=args.seed,
                              subset=400 if args.debug else None)
     loader = DataLoader(ds, global_batch, seed=args.seed,
                         shard_index=jax.process_index(),
@@ -103,9 +142,9 @@ def main(argv=None) -> None:
     logger = Logger(args.out)
     ckpt_dir = os.path.join(args.out, "checkpoint", "code_diffuser")
 
-    key = jax.random.key(args.seed + 1)
     it = start_iter
-    for batch in loader.forever():
+    start_epoch, start_batch = divmod(start_iter, loader.batches_per_epoch())
+    for batch in loader.forever(start_epoch, start_batch):
         if it >= args.iter:
             break
         lq, gt = batch
@@ -129,10 +168,8 @@ def main(argv=None) -> None:
                 [np.asarray(lq[:4]), np.asarray(refined), np.asarray(ori),
                  np.asarray(real_inv), np.asarray(gt[:4])])
         if it % args.save_inter == 0:
-            save_checkpoint(ckpt_dir, {
-                "diffuser": jax.device_get(state.params),
-                "iter": it,
-            })
+            save_checkpoint(
+                ckpt_dir, jax.device_get(full_ckpt_tree(state, key, it)))
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vspbfr_tpu.cli.common import wire_loss_nets
 from vspbfr_tpu.data import DataLoader, RestoreTrainDataset
 from vspbfr_tpu.losses.ada import ADAState
 from vspbfr_tpu.parallel import DataParallel, create_mesh
@@ -45,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--psp_ckpt", type=str, default=None,
                    help="converted style_encoder_decoder params (orbax)")
     p.add_argument("--diffuser_ckpt", type=str, default=None)
+    p.add_argument("--lpips_ckpt", type=str, default=None,
+                   help="converted LPIPS VGG16+lin params "
+                        "(cli.convert_ckpt lpips)")
+    p.add_argument("--arcface_ckpt", type=str, default=None,
+                   help="converted ArcFace resnet101 params "
+                        "(cli.convert_ckpt arcface)")
     p.add_argument("--out", type=str, default="train_out")
     p.add_argument("--save_inter", type=int, default=500)
     p.add_argument("--show_inter", type=int, default=2000)
@@ -53,6 +60,54 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frozen StyleGAN2 decoder resolution")
     p.add_argument("--debug", action="store_true")
     return p
+
+
+def full_ckpt_tree(g_state, d_state, g_ema, ada_state, key, it):
+    """Everything the reference persists (`restoration_train.py:291-305`)
+    — params, BOTH optimizer states, EMA, ada_p — plus the RNG cursor so a
+    resumed run continues the exact same stochastic stream."""
+    tree = {
+        "g": g_state.params, "g_opt": g_state.opt_state,
+        "g_step": g_state.step,
+        "d": d_state.params, "d_opt": d_state.opt_state,
+        "d_step": d_state.step,
+        "g_ema": g_ema,
+        "rng": jax.random.key_data(key),
+        "iter": it,
+    }
+    if ada_state is not None:
+        tree["ada"] = ada_state._asdict()
+    return tree
+
+
+def restore_full_ckpt(path, g_state, d_state, g_ema, ada_state, key):
+    """Full-fidelity resume (`restoration_train.py:411-428`); falls back to
+    params-only for legacy checkpoints. Returns the restored
+    (g_state, d_state, g_ema, ada_state, key, start_iter)."""
+    template = full_ckpt_tree(g_state, d_state, g_ema, ada_state, key, 0)
+    try:
+        ck = load_checkpoint(path, target=template)
+        g_state = g_state.replace(params=ck["g"], opt_state=ck["g_opt"],
+                                  step=ck["g_step"])
+        d_state = d_state.replace(params=ck["d"], opt_state=ck["d_opt"],
+                                  step=ck["d_step"])
+        g_ema = ck["g_ema"]
+        key = jax.random.wrap_key_data(jnp.asarray(ck["rng"]))
+        if ada_state is not None and "ada" in ck:
+            ada_state = ADAState(**jax.tree.map(jnp.asarray, ck["ada"]))
+    except Exception as e:  # legacy params-only checkpoint
+        import warnings
+        warnings.warn(
+            f"full-state restore failed ({type(e).__name__}: {e}); "
+            "falling back to params-only resume (optimizer moments, "
+            "ada_p and RNG cursor re-initialized)")
+        ck = load_checkpoint(path)
+        g_state = g_state.replace(
+            params=ck["g"], opt_state=g_state.tx.init(ck["g"]))
+        d_state = d_state.replace(
+            params=ck["d"], opt_state=d_state.tx.init(ck["d"]))
+        g_ema = ck["g_ema"]
+    return g_state, d_state, g_ema, ada_state, key, int(ck.get("iter", 0))
 
 
 def main(argv=None) -> None:
@@ -85,21 +140,24 @@ def main(argv=None) -> None:
     # distinct buffers for the EMA copy (donation-safe)
     g_ema = jax.tree.map(lambda x: jnp.asarray(np.array(x)), g_ema)
     start_iter = 0
+    key = jax.random.key(args.seed + 1)
+    ada_state = ADAState.create() if args.augment else None
     if args.ckpt:
-        ck = load_checkpoint(args.ckpt)
-        g_state = g_state.replace(params=ck["g"], opt_state=g_state.tx.init(ck["g"]))
-        d_state = d_state.replace(params=ck["d"], opt_state=d_state.tx.init(ck["d"]))
-        g_ema = ck["g_ema"]
-        start_iter = int(ck.get("iter", 0))
+        g_state, d_state, g_ema, ada_state, key, start_iter = \
+            restore_full_ckpt(args.ckpt, g_state, d_state, g_ema,
+                              ada_state, key)
     if args.psp_ckpt:
         frozen = {**frozen, "psp": load_checkpoint(args.psp_ckpt)}
     if args.diffuser_ckpt:
         frozen = {**frozen,
                   "diffuser": load_checkpoint(args.diffuser_ckpt)["diffuser"]}
+    frozen = wire_loss_nets(frozen, args.lpips_ckpt, args.arcface_ckpt,
+                            args.percept_loss_weight, args.id_loss_weight)
 
     g_state, d_state, g_ema, frozen = dp.replicate(
         (g_state, d_state, g_ema, frozen))
-    ada_state = dp.replicate(ADAState.create()) if args.augment else None
+    if ada_state is not None:
+        ada_state = dp.replicate(ada_state)
 
     step = trainer.jit_step(mesh)
     sample_fn = jax.jit(lambda p, low, rng: pipe.restore(p, low, rng))
@@ -111,9 +169,10 @@ def main(argv=None) -> None:
     logger = Logger(args.out)
     ckpt_dir = os.path.join(args.out, "checkpoint", "restore")
 
-    key = jax.random.key(args.seed + 1)
     it = start_iter
-    for batch in loader.forever():
+    # resume the deterministic data stream where it left off
+    start_epoch, start_batch = divmod(start_iter, loader.batches_per_epoch())
+    for batch in loader.forever(start_epoch, start_batch):
         if it >= args.iter:
             break
         lq1, _, gt = batch
@@ -144,12 +203,8 @@ def main(argv=None) -> None:
                 [np.asarray(lq1[:4]), np.asarray(sample),
                  np.asarray(gt[:4])])
         if it % args.save_inter == 0:
-            save_checkpoint(ckpt_dir, {
-                "g": jax.device_get(g_state.params),
-                "d": jax.device_get(d_state.params),
-                "g_ema": jax.device_get(g_ema),
-                "iter": it,
-            })
+            save_checkpoint(ckpt_dir, jax.device_get(full_ckpt_tree(
+                g_state, d_state, g_ema, ada_state, key, it)))
 
 
 if __name__ == "__main__":

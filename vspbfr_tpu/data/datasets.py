@@ -199,8 +199,17 @@ class DataLoader:
                 np.random.SeedSequence([self.seed, epoch])).permutation(n)
         return idx[self.shard_index::self.shard_count]
 
-    def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, ...]]:
-        """Iterate one epoch of batches (tuples of stacked arrays)."""
+    def batches_per_epoch(self) -> int:
+        n = len(self._epoch_indices(0))
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0,
+              start_batch: int = 0) -> Iterator[tuple[np.ndarray, ...]]:
+        """Iterate one epoch of batches (tuples of stacked arrays).
+
+        start_batch skips the first batches WITHOUT loading them (resume
+        cursor: the batch sequence is deterministic given (seed, epoch))."""
         indices = self._epoch_indices(epoch)
         nb = len(indices) // self.batch_size if self.drop_last else \
             -(-len(indices) // self.batch_size)
@@ -216,7 +225,7 @@ class DataLoader:
                 for c in cols)
 
         def worker(worker_id):
-            for b in range(worker_id, nb, self.num_workers):
+            for b in range(start_batch + worker_id, nb, self.num_workers):
                 if stop.is_set():
                     return
                 try:
@@ -231,8 +240,8 @@ class DataLoader:
             t.start()
         try:
             pending: dict[int, tuple] = {}
-            nxt = 0
-            received = 0
+            nxt = start_batch
+            received = start_batch
             while nxt < nb:
                 while nxt not in pending and received < nb:
                     b, data = q.get()
@@ -250,9 +259,14 @@ class DataLoader:
             for t in threads:
                 t.join(timeout=1.0)
 
-    def forever(self, start_epoch: int = 0) -> Iterator[tuple[np.ndarray, ...]]:
-        """Endless stream (`sample_data` loop, `restoration_test.py:60-63`)."""
+    def forever(self, start_epoch: int = 0,
+                start_batch: int = 0) -> Iterator[tuple[np.ndarray, ...]]:
+        """Endless stream (`sample_data` loop, `restoration_test.py:60-63`).
+
+        (start_epoch, start_batch) is the resume cursor; use
+        `divmod(global_step, batches_per_epoch())` to recover it."""
         e = start_epoch
+        yield from self.epoch(e, start_batch)
         while True:
-            yield from self.epoch(e)
             e += 1
+            yield from self.epoch(e)

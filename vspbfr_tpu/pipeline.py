@@ -128,9 +128,14 @@ class RestorationPipeline:
             else x, tree)
 
     def restore(self, params, low_imgs: jnp.ndarray, rng: jax.Array,
-                gen_params=None, deterministic: bool = True) -> jnp.ndarray:
+                gen_params=None, deterministic: bool = True,
+                return_sample: bool = False):
         """Full inference path. gen_params overrides params["generator"]
         (e.g. the EMA copy, `restoration_test.py:239-250`).
+
+        return_sample=True also returns the frozen StyleGAN2 decode of the
+        diffused latent — the "visual style prompt" image the reference
+        dumps as *_sample.png (`restoration_test.py:128-149`).
 
         With compute_dtype set (bf16), params and activations are cast for
         the whole pipeline and the output is returned in float32.
@@ -146,7 +151,7 @@ class RestorationPipeline:
         low_latent = self.psp.get_w_plus(params["psp"], low_imgs)
         clean_latent = self.diffuse_latent(params, low_latent, k_diff)
         clean_latent = jax.lax.stop_gradient(clean_latent)
-        _, feats = self.psp.decode_with_feats(
+        style_sample, feats = self.psp.decode_with_feats(
             params["psp"], clean_latent, noise_rng=k_dec)
         feats = jax.lax.stop_gradient(feats)
         noise_latent = self.sample_mixing_latent(gen_params, k_mix,
@@ -155,6 +160,8 @@ class RestorationPipeline:
             {"params": gen_params}, low_imgs, feats, clean_latent,
             noise_latent, input_is_latent=True, deterministic=deterministic,
             rngs={"noise": k_noise})
+        if return_sample:
+            return out.astype(out_dtype), style_sample.astype(out_dtype)
         return out.astype(out_dtype)
 
     def make_discriminator(self) -> Discriminator:

@@ -139,7 +139,8 @@ class RestoreTrainer:
         Jitted separately from the G phase: the union graph exceeds the
         TPU compile helper's memory at 512px."""
         cfg = self.cfg
-        (k_embed, k_gen_d, k_aug_r, k_aug_f) = jax.random.split(rng, 4)
+        (k_embed, k_gen_d, k_aug_r, k_aug_f, k_aug_r1) = jax.random.split(
+            rng, 5)
         clean, feats = self._frozen_embedding(frozen, low, k_embed)
 
         # ---- D step (`restoration_train.py:164-194`)
@@ -171,12 +172,14 @@ class RestoreTrainer:
                                    ada_length=cfg.ada_length)
 
         # ---- lazy R1 (`restoration_train.py:200-216`), second D update;
-        # gradient flows through the augment chain into the raw image
+        # gradient flows through the augment chain into the raw image.
+        # The reference draws a FRESH augmentation for the R1 batch
+        # (`restoration_train.py:203-207`), hence k_aug_r1, not k_aug_r.
         def r1_update(d_state):
             def r1_loss_fn(d_params):
                 def d_fn(x):
                     if cfg.augment and ada_state is not None:
-                        x = augment(k_aug_r, x, ada_state.p)
+                        x = augment(k_aug_r1, x, ada_state.p)
                     return self._disc_apply(d_params, x)
                 pen = r1_penalty(d_fn, real)
                 return cfg.r1 / 2.0 * pen * cfg.d_reg_every, pen

@@ -115,3 +115,47 @@ def test_ada_controller():
     for _ in range(256):
         st = ada_update(st, -preds, update_every=256)
     assert float(st.p) < p_hi
+
+
+def test_static_pad_deviation_envelope(ref_ada, rng):
+    """Measured bound on the documented static-vs-dynamic-pad deviation.
+
+    The reference pads per-batch from the sampled matrix
+    (`non_leaking.py:770-806`); we pad statically (losses/ada.py module
+    docstring). Over transforms sampled at the ADA operating point p=0.6,
+    the outputs must agree except on a small fraction of border pixels.
+    """
+    b, h, w = 8, 64, 64
+    img = rng.standard_normal((b, 3, h, w)).astype(np.float32) * 0.3
+    img_j = jnp.asarray(img.transpose(0, 2, 3, 1))
+
+    from vspbfr_tpu.losses.ada import apply_affine as our_apply
+
+    fracs, interior_errs = [], []
+    for trial in range(6):
+        G = np.asarray(sample_affine(jax.random.key(trial), 0.6, b, h, w))
+        out_j = np.asarray(our_apply(img_j, jnp.asarray(G)))
+        with torch.no_grad():
+            out_t, _ = ref_ada.random_apply_affine(
+                torch.from_numpy(img), 0.0,
+                torch.from_numpy(np.linalg.inv(G).astype(np.float32)))
+        ref = out_t.numpy().transpose(0, 2, 3, 1)
+        scale = np.abs(ref).max() + 1e-8
+        diff = np.abs(out_j - ref) / scale
+        # fraction of meaningfully-deviating pixels (per sample)
+        fracs.append(np.mean(diff > 1e-2, axis=(1, 2, 3)))
+        c = 8  # interior: away from the static-pad boundary
+        interior_errs.append(diff[:, c:-c, c:-c].reshape(b, -1).max(axis=1))
+
+    fracs = np.concatenate(fracs)
+    interior_errs = np.concatenate(interior_errs)
+    # envelope: on average <2% of pixels deviate; no sample exceeds 15%
+    # (extreme scale/translate draws clip at the static border)
+    assert fracs.mean() < 0.02, fracs.mean()
+    assert fracs.max() < 0.15, fracs.max()
+    # interiors match to fp tolerance for >=90% of samples; only rare
+    # extreme zoom-outs (content pulled in from beyond the static pad)
+    # deviate inside, and even those stay bounded
+    assert np.quantile(interior_errs, 0.9) < 1e-3, interior_errs
+    assert (interior_errs > 0.02).mean() <= 0.05, interior_errs
+    assert interior_errs.max() < 0.5, interior_errs.max()

@@ -360,6 +360,22 @@ def test_pallas_conv2d_dense_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
 
+    # in_scale (the folded style multiply), f32 and bf16 (the bf16 variant
+    # regressed in r2: a dynamic per-batch row load was unprovably aligned)
+    s = jnp.asarray((rng.standard_normal((2, 128)) * 0.2 + 1.0)
+                    .astype(np.float32))
+    ref3 = _lax_conv(x * s[:, None, None, :], w, pads)
+    got3 = conv2d_dense(x, w, pads, in_scale=s, interpret=True)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3),
+                               rtol=1e-4, atol=1e-5)
+    xb, wb, sb = (v.astype(jnp.bfloat16) for v in (x, w, s))
+    refb = _lax_conv(xb * sb[:, None, None, :], wb, pads)
+    gotb = conv2d_dense(xb, wb, pads, in_scale=sb, interpret=True)
+    assert gotb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(gotb, np.float32),
+                               np.asarray(refb, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
 
 def test_pallas_conv2d_double_grad_r1(rng):
     """R1 needs reverse-over-reverse through D's convs; the custom-vjp

@@ -134,6 +134,29 @@ def test_blur_down_conv_packed():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_blur_down_conv_packed_packed():
+    """packed in AND packed out (the encoder downsample with
+    packed_min_res below the top resolution)."""
+    from vspbfr_tpu.ops.packed import blur_down_conv_packed_packed
+
+    x = rand(15, 2, 32, 32, 5)
+    w = rand(16, 3, 3, 5, 7) * 0.2
+    k, lk, factor = 3, len(TAPS), 2
+    p = (lk - factor) + (k - 1)
+    pads = ((p + 1) // 2, p // 2)
+    ref = space_to_depth(fused_blur_strided_conv(x, w, TAPS, pads, stride=2))
+    out = blur_down_conv_packed_packed(space_to_depth(x), w, TAPS)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # in_scale folds a per-sample channel scale into the packed input
+    s = rand(17, 2, 5) * 0.3 + 1.0
+    ref2 = space_to_depth(fused_blur_strided_conv(
+        x * s[:, None, None, :], w, TAPS, pads, stride=2))
+    out2 = blur_down_conv_packed_packed(space_to_depth(x), w, TAPS,
+                                        in_scale=pack_vector(s))
+    np.testing.assert_allclose(out2, ref2, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("packed_in", [False, True])
 def test_upsample2d_packed(packed_in):
     x = rand(17, 2, 16, 16, 3)

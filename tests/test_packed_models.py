@@ -78,10 +78,19 @@ def test_generator_packed_parity():
         np.testing.assert_allclose(fp, fr, rtol=1e-4, atol=1e-4)
 
 
-def test_restorenet_packed_parity():
+import pytest
+
+
+@pytest.mark.parametrize("pmr_div", [1, 4])
+def test_restorenet_packed_parity(pmr_div):
+    """pmr_div=1: only the top resolution packed (round-1 behavior);
+    pmr_div=4: packing two levels down, exercising the packed->packed
+    encoder downsample (blur_down_conv_packed_packed) and packed SMART /
+    fusion at the inner resolutions."""
     size, b = 64, 2
+    pmr = size // pmr_div
     net_ref = RestorationNet(size=size, packed_min_res=0)
-    net_pk = RestorationNet(size=size, packed_min_res=size)
+    net_pk = RestorationNet(size=size, packed_min_res=pmr)
 
     key = jax.random.key(3)
     imgs = jax.random.uniform(jax.random.key(4), (b, size, size, 3),
@@ -103,13 +112,45 @@ def test_restorenet_packed_parity():
     params = net_ref.init({"params": key, "noise": key},
                           imgs, feats, pre, nz)["params"]
 
-    # the packed net expects the decoder feature at its packed resolution
-    # in the packed layout (as the packed Generator produces it)
+    # the packed net expects decoder features at packed resolutions in the
+    # packed layout (as the packed Generator produces them)
     from vspbfr_tpu.ops.packed import space_to_depth
-    feats_pk = [space_to_depth(f) if f.shape[1] >= size else f for f in feats]
+    feats_pk = [space_to_depth(f) if f.shape[1] >= pmr else f for f in feats]
 
     out_ref = net_ref.apply({"params": params}, imgs, feats, pre, nz,
                             deterministic=True, rngs={"noise": noise_rng})
     out_pk = net_pk.apply({"params": params}, imgs, feats_pk, pre, nz,
                           deterministic=True, rngs={"noise": noise_rng})
     np.testing.assert_allclose(out_pk, out_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_psp_facade_pooled_from_packed():
+    """face_pool(d2s(packed_rgb)) == phase-mean on the packed RGB: the
+    PSPFacade pooled fast path (decode/decode_with_feats with resize=True,
+    out_size == size/2) must match the explicit d2s + adaptive_avg_pool."""
+    from vspbfr_tpu.models.psp import PSPFacade, adaptive_avg_pool
+    from vspbfr_tpu.ops.packed import depth_to_space
+
+    size, b = 64, 2
+    pipe = PSPFacade.create(out_size=size // 2, size=size,
+                            packed_min_res=16)
+    assert pipe._pooled_from_packed()
+    # init only the decoder — decode paths never touch the (heavy) encoder
+    dec = pipe.decoder.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(5)},
+        jnp.zeros((1, pipe.n_latent, 512)))["params"]
+    params = {"decoder": dec}
+    codes = jax.random.normal(jax.random.key(1), (b, pipe.n_latent, 512))
+    noise = _noise_list(jax.random.key(2), b, pipe.decoder.log_size)
+
+    img, feats = pipe.decode_with_feats(params, codes, noise=noise)
+    packed, _ = pipe.decoder.apply({"params": params["decoder"]}, codes,
+                                   noise=noise, return_packed_rgb=True)
+    ref = adaptive_avg_pool(depth_to_space(packed), (size // 2, size // 2))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    assert img.shape == (b, size // 2, size // 2, 3)
+
+    img2 = pipe.decode(params, codes, noise=noise)
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

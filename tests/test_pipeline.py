@@ -50,3 +50,22 @@ def test_mixing_latent_distribution(pipe_and_params):
         if not np.array_equal(first, last):
             n_mixed += 1
     assert 0 < n_mixed < 20  # both branches occur at p=0.5
+
+
+def test_bf16_compute_dtype_quality(pipe_and_params, rng):
+    """bf16 inference must stay close to the f32 pipeline on the SAME
+    params (the production compute_dtype=bf16 path; output dtype is the
+    input's). Bound: >=25 dB PSNR over the [-1,1] range — bf16 has ~8
+    mantissa bits, and the pipeline output here stays O(1)."""
+    from vspbfr_tpu.evaluation import psnr
+
+    pipe32, params = pipe_and_params
+    pipe16 = RestorationPipeline(size=32, decoder_size=64,
+                                 compute_dtype=jnp.bfloat16)
+    low = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    out32 = pipe32.restore(params, low, jax.random.key(1))
+    out16 = pipe16.restore(params, low, jax.random.key(1))
+    assert out16.dtype == jnp.float32  # cast back to the input dtype
+    rng_ = float(np.abs(np.asarray(out32)).max()) * 2
+    p = float(psnr(out16, jnp.asarray(out32), data_range=max(rng_, 2.0)).mean())
+    assert p >= 25.0, f"bf16 pipeline deviates: psnr={p:.2f} dB"

@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--decoder_size", type=int, default=1024,
                    help="frozen StyleGAN2 decoder resolution")
+    p.add_argument("--packed_min_res", type=int, default=512,
+                   help="space-to-depth layout threshold (0 disables)")
     p.add_argument("--debug", action="store_true",
                    help="400-image subset + short intervals")
     return p
@@ -93,7 +95,8 @@ def main(argv=None) -> None:
         percept_weight=args.percept_loss_weight,
         id_weight=args.id_loss_weight, timesteps=args.timesteps)
     pipe = RestorationPipeline(size=args.size, timesteps=args.timesteps,
-                               decoder_size=args.decoder_size)
+                               decoder_size=args.decoder_size,
+                               packed_min_res=args.packed_min_res)
     trainer = DiffuserTrainer(cfg, pipe)
 
     maybe_initialize_distributed()

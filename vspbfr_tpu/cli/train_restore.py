@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--decoder_size", type=int, default=1024,
                    help="frozen StyleGAN2 decoder resolution")
+    p.add_argument("--packed_min_res", type=int, default=512,
+                   help="space-to-depth layout threshold (0 disables)")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -125,7 +127,8 @@ def main(argv=None) -> None:
         augment=args.augment, ada_target=args.ada_target,
         ada_length=args.ada_length)
     pipe = RestorationPipeline(size=args.size, mixing_prob=args.mixing,
-                               decoder_size=args.decoder_size)
+                               decoder_size=args.decoder_size,
+                               packed_min_res=args.packed_min_res)
     trainer = RestoreTrainer(cfg, pipe)
 
     maybe_initialize_distributed()

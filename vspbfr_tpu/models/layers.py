@@ -189,8 +189,12 @@ class NoiseInjection(nn.Module):
         if not self.packed:
             if noise is None:
                 b, h, wd, _ = x.shape
+                # drawn in f32 then cast: a bf16 compute_dtype run sees the
+                # SAME random stream as the f32 pipeline (bf16-native normal
+                # sampling produces different values, not just lower
+                # precision)
                 noise = jax.random.normal(self.make_rng("noise"),
-                                          (b, h, wd, 1), x.dtype)
+                                          (b, h, wd, 1)).astype(x.dtype)
             if return_parts:
                 return w, noise
             return x + w * noise
@@ -202,7 +206,7 @@ class NoiseInjection(nn.Module):
             # differs from the unpacked layout's; cross-layout parity tests
             # pass explicit noise.
             noise = jax.random.normal(self.make_rng("noise"),
-                                      (b, h, wd, 4), x.dtype)
+                                      (b, h, wd, 4)).astype(x.dtype)
         else:
             from vspbfr_tpu.ops.packed import space_to_depth
             noise = space_to_depth(noise)  # (B, 2h, 2w, 1) -> (B, h, w, 4)

@@ -92,6 +92,32 @@ class PSPFacade:
         codes = codes + params["latent_avg"][None]
         return jax.lax.stop_gradient(codes[:, : self.n_latent])
 
+    def _pooled_from_packed(self) -> bool:
+        """face_pool(d2s(packed_rgb)) == phase-mean of the packed RGB when
+        the pool is exactly 2x2 (size -> size/2): a 2x2 average over
+        d2s output at (i, j) averages the 4 phase values stored at packed
+        channel groups (gy, gx, rgb). Skips the full-image HBM relayout
+        (measured 4.6 ms at 1024^2 b4 on v5e, scripts/exp_torgb.py)."""
+        pmr = self.decoder.packed_min_res
+        return bool(pmr) and self.size >= pmr and self.out_size * 2 == self.size
+
+    def _decode_image(self, params: dict, codes: jnp.ndarray, noise, rngs,
+                      return_features: bool, resize: bool):
+        if resize and self._pooled_from_packed():
+            packed, feats = self.decoder.apply(
+                {"params": params["decoder"]}, codes, noise=noise,
+                return_features=return_features, return_packed_rgb=True,
+                rngs=rngs)
+            b, h, w, _ = packed.shape
+            image = jnp.mean(packed.reshape(b, h, w, 4, 3), axis=3)
+            return image, feats
+        image, feats = self.decoder.apply(
+            {"params": params["decoder"]}, codes, noise=noise,
+            return_features=return_features, rngs=rngs)
+        if resize:
+            image = adaptive_avg_pool(image, (self.out_size, self.out_size))
+        return image, feats
+
     def decode_with_feats(self, params: dict, codes: jnp.ndarray,
                           noise_rng: jax.Array | None = None,
                           noise=None, resize: bool = True):
@@ -99,24 +125,17 @@ class PSPFacade:
         (`e4e/models/psp.py:235-281`). Differentiability is the caller's
         choice: wrap with stop_gradient for the frozen-eval path."""
         rngs = {"noise": noise_rng} if noise_rng is not None else None
-        image, feats = self.decoder.apply(
-            {"params": params["decoder"]}, codes, noise=noise,
-            return_features=True, rngs=rngs)
-        feats = feats[: self.out_n_latent]
-        if resize:
-            image = adaptive_avg_pool(image, (self.out_size, self.out_size))
-        return image, feats
+        image, feats = self._decode_image(params, codes, noise, rngs,
+                                          return_features=True, resize=resize)
+        return image, feats[: self.out_n_latent]
 
     def decode(self, params: dict, codes: jnp.ndarray,
                noise_rng: jax.Array | None = None, noise=None,
                resize: bool = True) -> jnp.ndarray:
         """W+ code -> image only (get_stylegan_featsV2 return_feat=False)."""
         rngs = {"noise": noise_rng} if noise_rng is not None else None
-        image, _ = self.decoder.apply(
-            {"params": params["decoder"]}, codes, noise=noise,
-            return_features=False, rngs=rngs)
-        if resize:
-            image = adaptive_avg_pool(image, (self.out_size, self.out_size))
+        image, _ = self._decode_image(params, codes, noise, rngs,
+                                      return_features=False, resize=resize)
         return image
 
     def mean_latent(self, params: dict, key: jax.Array,

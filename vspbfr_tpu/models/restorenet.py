@@ -47,9 +47,8 @@ class RestorationNet(nn.Module):
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
     # Space-to-depth packed layout for resolutions >= this (see
     # stylegan2.Generator.packed_min_res). The frozen decoder feeding
-    # de_feats must use the same threshold. Only the top resolution may be
-    # packed (the encoder's packed->packed downsample is not implemented);
-    # 0 disables.
+    # de_feats must use the same threshold. Must stay above 4 (the 4x4
+    # stem/global head is never packed); 0 disables.
     packed_min_res: int = 512
 
     @property
@@ -70,10 +69,8 @@ class RestorationNet(nn.Module):
         self.style = StyleMLP(self.style_dim, self.n_mlp)
 
         pmr = self.packed_min_res or (2 * self.size)
-        if pmr < self.size:
-            raise NotImplementedError(
-                "packed_min_res below the top resolution needs a "
-                "packed->packed encoder downsample")
+        if 0 < pmr <= 4:
+            raise ValueError("packed_min_res must be > 4 (4x4 head unpacked)")
 
         # decoder (`models/RestoreNet.py:824-879`)
         self.conv1 = SMARTLayer(ch[4], blur_kernel=self.blur_kernel)
@@ -104,9 +101,12 @@ class RestorationNet(nn.Module):
             out_ch = ch[2 ** (i - 1)]
             enc.append(SMARTLayer(tmp_ch, blur_kernel=self.blur_kernel,
                                   packed=res >= pmr))
+            # packed->packed downsample (blur_down_conv_packed_packed) when
+            # the next resolution is still above the packing threshold
             enc.append(StyledConv(out_ch, 3, downsample=True,
                                   blur_kernel=self.blur_kernel,
-                                  packed_in=res >= pmr))
+                                  packed_in=res >= pmr,
+                                  packed_out=(res // 2) >= pmr))
         self.encoder_convs = enc
         self.final_layer = LargeConvLayer(ch[4], kernel_size=3)
         self.final_linear = EqualLinear(ch[4] * 2, activation=True)

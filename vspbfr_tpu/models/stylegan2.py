@@ -94,7 +94,8 @@ class Generator(nn.Module):
         return self.style(z)
 
     def __call__(self, latent: jnp.ndarray, noise=None,
-                 return_features: bool = False):
+                 return_features: bool = False,
+                 return_packed_rgb: bool = False):
         """Decode a W+ latent.
 
         Args:
@@ -103,6 +104,11 @@ class Generator(nn.Module):
           return_features: also return the pre-ToRGB feature list
             (`e4e/models/stylegan2/model.py:530-543`): index 0 = 4x4 after
             conv1, then one entry per upsample conv at 8, 16, ... size.
+          return_packed_rgb: when the top resolution is packed, skip the
+            final depth-to-space and return the (B, size/2, size/2, 12)
+            packed RGB (phase groups (gy, gx, rgb)) — consumers that
+            immediately 2x-average-pool (pSp face_pool) can take the phase
+            mean instead, saving a full-image HBM relayout.
 
         Returns:
           image (B, size, size, 3) in [-1, 1] range convention, and the
@@ -132,6 +138,7 @@ class Generator(nn.Module):
             i += 2
 
         if self.packed_min_res and self.size >= self.packed_min_res:
-            from vspbfr_tpu.ops.packed import depth_to_space
-            skip = depth_to_space(skip)
+            if not return_packed_rgb:
+                from vspbfr_tpu.ops.packed import depth_to_space
+                skip = depth_to_space(skip)
         return skip, features

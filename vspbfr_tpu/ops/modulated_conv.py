@@ -291,9 +291,13 @@ def _modulated_conv2d_packed(
         out = pk.up_conv_blur_packed(x, ws, taps, packed_in=packed_in,
                                      in_scale=sty)
     elif down:
-        assert packed_in and not packed_out and dilation == 1
-        out = pk.blur_down_conv_packed(x, ws, tuple(blur_kernel),
-                                       in_scale=sty)
+        assert packed_in and dilation == 1
+        if packed_out:
+            out = pk.blur_down_conv_packed_packed(x, ws, tuple(blur_kernel),
+                                                  in_scale=sty)
+        else:
+            out = pk.blur_down_conv_packed(x, ws, tuple(blur_kernel),
+                                           in_scale=sty)
     else:
         assert packed_in and packed_out
         if k == 1:

@@ -364,6 +364,48 @@ def blur_down_conv_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
     return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale)
 
 
+def blur_down_conv_packed_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
+                                 in_scale: jnp.ndarray | None = None
+                                 ) -> jnp.ndarray:
+    """StyleGAN2 down path consuming a PACKED input and emitting a PACKED
+    output (both resolutions above packed_min_res).
+
+    x: (B, h, w, 4Ci) packed at res 2h -> (B, h/2, w/2, 4Co) packed at res h.
+    Derivation: y[2q+a] = sum_t D[t] x_orig[4q + 2a + t - pad0] with
+    x_orig[2p+e] = packed phase e -> p = 2q + a + (t - pad0 - e)/2, i.e. ONE
+    stride-2 dense conv on the packed grids (no layout conversion at all).
+    Lifts the round-1 `packed_min_res < size` restriction
+    (`models/restorenet.py` encoder downsample).
+    """
+    from vspbfr_tpu.ops.modulated_conv import compose_blur_kernel
+
+    k = w.shape[0]
+    lk = len(taps)
+    factor = 2
+    e2 = compose_blur_kernel(w, taps, gain=1.0)
+    dk = k + lk - 1
+    p = (lk - factor) + (k - 1)
+    pad0 = (p + 1) // 2
+
+    def m(a, e):
+        out = []
+        for t in range(dk):
+            num = t - pad0 - e
+            if num % 2 == 0:
+                out.append((a + num // 2, t))
+        return out
+
+    wp, (py0, py1), (px0, px1) = _assemble2(e2, m, m, 2, 2)
+    if in_scale is not None:
+        x = x * in_scale[:, None, None, :]
+    # out[q] = sum_u K[u - u0] x[2q + u], u in [u0, u1]; with stride 2 and
+    # pads (-u0, u1 - 1) the output grid is exactly h/2 (h even)
+    return jax.lax.conv_general_dilated(
+        x, wp.astype(x.dtype), window_strides=(2, 2),
+        padding=((py0, py1 - 1), (px0, px1 - 1)),
+        dimension_numbers=_DN)
+
+
 def upsample2d_packed(x: jnp.ndarray, taps: tuple,
                       packed_in: bool) -> jnp.ndarray:
     """FIR 2x upsample (`models/RestoreNet.py:43-60`) emitting packed output;

@@ -80,8 +80,10 @@ def _conv_kernel(x_hbm, w_ref, isc_ref, o_ref, xs_ref, sem, *, h_t, kh, kw,
     cp.wait()
     if has_isc:
         # fold the per-(batch, in-channel) style scale into the resident
-        # stripe once (saves the producer's full x*style HBM pass)
-        xs_ref[...] = xs_ref[...] * isc_ref[pl.ds(bb, 1), :][None]
+        # stripe once (saves the producer's full x*style HBM pass). The
+        # batch row arrives via BlockSpec (static per grid cell) — a
+        # dynamic isc_ref[bb] row load is unprovably aligned for bf16.
+        xs_ref[...] = xs_ref[...] * isc_ref[0][None]
     acc = jnp.zeros((h_t, ow, co), jnp.float32)
     for ty in range(kh):
         for tx in range(kw):
@@ -111,6 +113,7 @@ def _conv_pallas(x, w, pads, in_scale=None, interpret=False):
 
     has_isc = in_scale is not None
     isc = (in_scale if has_isc else jnp.ones((b, 1))).astype(x.dtype)
+    isc = isc[:, None, :]  # (b, 1, c) — blocked per-batch below
     return pl.pallas_call(
         functools.partial(_conv_kernel, h_t=h_t, kh=kh, kw=kw, ow=ow, co=co,
                           has_isc=has_isc),
@@ -118,7 +121,8 @@ def _conv_pallas(x, w, pads, in_scale=None, interpret=False):
         grid=(b, oh // h_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec((1, 1, isc.shape[-1]),
+                               lambda bb, ih: (bb, 0, 0))],
         out_specs=pl.BlockSpec((1, h_t, ow, co),
                                lambda bb, ih: (bb, ih, 0, 0)),
         scratch_shapes=[

@@ -53,7 +53,7 @@ def _use_pallas(b, h, w, inner, dtype) -> bool:
     if not _pallas_enabled() or jax.default_backend() != "tpu":
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    sub_min = 16 // itemsize  # f32: 8, bf16: 16 sublane tile
+    sub_min = 32 // itemsize  # sublane tile: f32 8, bf16 16
     return (inner % 128 == 0) and (w % sub_min == 0) and h >= 1
 
 

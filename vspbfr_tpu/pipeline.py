@@ -99,7 +99,9 @@ class RestorationPipeline:
                        rng: jax.Array, training: bool = False):
         """Eval: clean latent from pure noise; training: full chain w/ grads."""
         ddpm = self.ddpm(params["diffuser"])
-        noise = jax.random.normal(rng, low_latent.shape, low_latent.dtype)
+        # f32 draw + cast: bf16 compute_dtype sees the f32 random stream
+        noise = jax.random.normal(rng, low_latent.shape).astype(
+            low_latent.dtype)
         if training:
             return ddpm.training_chain(low_latent, low_latent, noise)
         return ddpm.sample(low_latent, noise)
@@ -108,8 +110,8 @@ class RestorationPipeline:
                              batch: int) -> jnp.ndarray:
         """Draw the (B, n_latent, 512) mixed noise-style latent."""
         k_z, k_flip, k_idx = jax.random.split(rng, 3)
-        z = jax.random.normal(k_z, (2, batch, self.style_dim),
-                              self.compute_dtype or jnp.float32)
+        z = jax.random.normal(k_z, (2, batch, self.style_dim)).astype(
+            self.compute_dtype or jnp.float32)
         n_lat = self.generator.n_latent
         mix = jax.random.bernoulli(k_flip, self.mixing_prob)
         idx = jnp.where(
@@ -143,21 +145,29 @@ class RestorationPipeline:
         if gen_params is None:
             gen_params = params["generator"]
         out_dtype = low_imgs.dtype
-        if self.compute_dtype is not None:
-            params = self._cast(params)
+        dt = self.compute_dtype
+        # Selective f32 islands: the e4e encode and the 4-step DDPM latent
+        # chain stay f32 (tiny + latency-bound, and the W+ latent is the
+        # most error-amplified tensor in the pipeline); only the two
+        # MXU-bound stages — frozen decode and RestoreNet — run in bf16.
+        psp_params = params["psp"]
+        if dt is not None:
+            psp_params = {**psp_params,
+                          "decoder": self._cast(psp_params["decoder"])}
             gen_params = self._cast(gen_params)
-            low_imgs = low_imgs.astype(self.compute_dtype)
         k_diff, k_mix, k_noise, k_dec = jax.random.split(rng, 4)
         low_latent = self.psp.get_w_plus(params["psp"], low_imgs)
         clean_latent = self.diffuse_latent(params, low_latent, k_diff)
         clean_latent = jax.lax.stop_gradient(clean_latent)
+        clean_c = clean_latent.astype(dt) if dt is not None else clean_latent
         style_sample, feats = self.psp.decode_with_feats(
-            params["psp"], clean_latent, noise_rng=k_dec)
+            psp_params, clean_c, noise_rng=k_dec)
         feats = jax.lax.stop_gradient(feats)
         noise_latent = self.sample_mixing_latent(gen_params, k_mix,
                                                  low_imgs.shape[0])
+        low_c = low_imgs.astype(dt) if dt is not None else low_imgs
         out = self.generator.apply(
-            {"params": gen_params}, low_imgs, feats, clean_latent,
+            {"params": gen_params}, low_c, feats, clean_c,
             noise_latent, input_is_latent=True, deterministic=deterministic,
             rngs={"noise": k_noise})
         if return_sample:

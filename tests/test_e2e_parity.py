@@ -1,0 +1,225 @@
+"""FULL-PIPELINE parity vs the reference, through the reference's own
+checkpoint format and loader glue.
+
+The released `style_encoder_decoder.pt` / `code_diffuser.pt` /
+`restoration_net.pt` artifacts are NOT obtainable in this environment (zero
+egress; nothing vendored in the image — see PARITY.md). Per the round-1
+verdict's fallback, this test synthesizes a random-weight checkpoint in the
+RELEASED FILE FORMAT, loads it through the reference's real `E4e_embedding`
+-> `My_pSp.load_weights` path (`e4e/models/psp.py:122-143`), runs the
+reference's inference composition (`restoration_test.py:115-131`) on CPU,
+and asserts our pipeline — fed by `convert_psp_checkpoint` et al. from the
+same files — reproduces the restored image.
+
+Covers the glue the per-module tests cannot: latent_avg addition + n_latent
+slicing, the 256 resize, feats truncation to out_n_latent, face_pool,
+flip-latent ordering, and the checkpoint key layout itself.
+"""
+
+import math
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, ".")  # tests/ package-less import
+from tests.test_parity import randomize_, sd_numpy  # noqa: E402
+from tests.torch_oracle import load_reference_modules  # noqa: E402
+
+from vspbfr_tpu.convert import (  # noqa: E402
+    convert_code_diffuser,
+    convert_restoration_net,
+)
+from vspbfr_tpu.convert.torch_import import convert_psp_checkpoint  # noqa: E402
+from vspbfr_tpu.pipeline import RestorationPipeline  # noqa: E402
+
+OUT_SIZE = 32   # RestoreNet resolution (reference: 512)
+DEC_SIZE = 64   # frozen StyleGAN2 resolution (reference: 1024)
+
+
+def _zero_noise_gains(module):
+    """The released decoder runs randomize_noise=True (a fresh torch stream
+    per call) — cross-framework parity requires the noise contribution to
+    vanish, exactly as tests/test_parity.py does for RestoreNet."""
+    with torch.no_grad():
+        for name, p in module.named_parameters():
+            if name.endswith("noise.weight"):
+                p.zero_()
+
+
+@pytest.fixture(scope="module")
+def e2e(tmp_path_factory):
+    ref = load_reference_modules()
+    tmp = tmp_path_factory.mktemp("ckpt")
+
+    # ---- synthesize style_encoder_decoder.pt in the released layout
+    opts = types.SimpleNamespace(stylegan_size=DEC_SIZE, input_channel=3,
+                                 encoder_type="Encoder4Editing",
+                                 start_from_latent_avg=True,
+                                 checkpoint_path=None)
+    # scale 0.05: 50 unnormalized random IR-SE layers overflow to inf/NaN at
+    # the default 0.5 (real checkpoints are spectrally tame; random ones
+    # are not) — 0.05 keeps the W+ codes at O(1) like a trained encoder
+    te = ref.psp_encoders.Encoder4Editing(50, "ir_se", opts).eval()
+    randomize_(te, seed=1, scale=0.05)
+    tg = ref.stylegan2.Generator(DEC_SIZE, 512, 8, channel_multiplier=2).eval()
+    randomize_(tg, seed=2)
+    _zero_noise_gains(tg)
+    n_latent = 2 * int(math.log2(DEC_SIZE)) - 2
+    g0 = torch.Generator().manual_seed(3)
+    latent_avg = torch.randn(n_latent, 512, generator=g0) * 0.1
+
+    ckpt = {f"encoder.{k}": v for k, v in te.state_dict().items()}
+    ckpt.update({f"decoder.{k}": v for k, v in tg.state_dict().items()})
+    ckpt["latent_avg"] = latent_avg
+    ckpt["opts"] = {"stylegan_size": DEC_SIZE, "input_channel": 3,
+                    "encoder_type": "Encoder4Editing",
+                    "start_from_latent_avg": True}
+    psp_path = os.path.join(str(tmp), "style_encoder_decoder.pt")
+    torch.save(ckpt, psp_path)
+
+    # ---- reference-side model stack, built THROUGH the released loaders
+    import importlib
+    e4e_embedding = importlib.import_module("Loss.e4e_embedding")
+    emb = e4e_embedding.E4e_embedding(psp_path, OUT_SIZE, DEC_SIZE,
+                                      torch.device("cpu"), input_channel=3,
+                                      use_generator=True)
+
+    tden = ref.code_diffuser.Code_diffuser(timesteps=4).eval()
+    randomize_(tden, seed=4)
+    tddpm = ref.ddpm.My_DDPM(denoise=tden, linear_start=0.1,
+                             linear_end=0.99, timesteps=4).eval()
+
+    tnet = ref.restorenet.Restoration_net(OUT_SIZE, 512, 8,
+                                          channel_multiplier=2).eval()
+    randomize_(tnet, seed=5)
+    _zero_noise_gains(tnet)
+
+    # ---- our side: same weights via the converters
+    pipe = RestorationPipeline(size=OUT_SIZE, decoder_size=DEC_SIZE)
+    flax0 = jax.jit(pipe.init_params)(jax.random.key(0))
+    params = {
+        "psp": convert_psp_checkpoint(pipe.psp, flax0["psp"], psp_path),
+        "diffuser": convert_code_diffuser(flax0["diffuser"], sd_numpy(tden)),
+        "generator": convert_restoration_net(flax0["generator"],
+                                             sd_numpy(tnet)),
+    }
+    return types.SimpleNamespace(emb=emb, tddpm=tddpm, tnet=tnet, pipe=pipe,
+                                 params=params)
+
+
+def _torch_ddpm_chain(tddpm, x0, cond):
+    """The reference eval-branch reverse loop (`ldm/ddpm.py:421-429`)."""
+    b = x0.shape[0]
+    xt = x0
+    with torch.no_grad():
+        for t in reversed(range(4)):
+            xt, _ = tddpm.p_sample(
+                xt, torch.full((b,), t, dtype=torch.long), cond,
+                clip_denoised=False)
+    return xt
+
+
+def test_full_pipeline_parity(e2e, rng):
+    """Stage-by-stage MATCHED-INPUT parity (tight tolerances) + a full-chain
+    glue check (loose: with random unsmoothed weights each stage's Jacobian
+    gain is ~10x, so the encoder's legitimate 2e-3 cross-framework fp error
+    is amplified through DDPM -> decoder -> RestoreNet; real trained
+    checkpoints are spectrally tame — see PARITY.md)."""
+    b = 2
+    low = (rng.standard_normal((b, 3, OUT_SIZE, OUT_SIZE)) * 0.4).astype(
+        np.float32).clip(-1, 1)
+    init_noise = rng.standard_normal(
+        (b, e2e.pipe.psp.n_latent, 512)).astype(np.float32)
+    z = rng.standard_normal((b, 512)).astype(np.float32)
+
+    # ---- stage 1: encoder (same image both sides)
+    low_t = torch.from_numpy(low)
+    with torch.no_grad():
+        low_latent_t = e2e.emb.get_w_plus(low_t)
+    low_j = jnp.asarray(low.transpose(0, 2, 3, 1))
+    psp_p = e2e.params["psp"]
+    low_latent_j = e2e.pipe.psp.get_w_plus(psp_p, low_j)
+    np.testing.assert_allclose(np.asarray(low_latent_j),
+                               low_latent_t.numpy(), rtol=2e-3, atol=2e-3)
+
+    # ---- stage 2: 4-step DDPM chain, MATCHED input (our encoder's latent
+    # through the reference's loader-built DDPM)
+    latent_m = torch.from_numpy(np.asarray(low_latent_j))
+    pre_latent_t = _torch_ddpm_chain(e2e.tddpm, torch.from_numpy(init_noise),
+                                     latent_m)
+    clean_j = e2e.pipe.ddpm(e2e.params["diffuser"]).sample(
+        low_latent_j, jnp.asarray(init_noise))
+    err = np.abs(np.asarray(clean_j) - pre_latent_t.numpy())
+    # measured ~4e-3: the 4 chained net applies each contribute ~2e-4
+    # (the single-apply parity bound, tests/test_parity.py) amplified by
+    # the posterior-coefficient gains of the x0-parameterized update
+    assert np.quantile(err, 0.999) < 1e-2, "diffused latent diverged"
+
+    # ---- stage 3: frozen decoder, MATCHED latent
+    clean_m = torch.from_numpy(np.asarray(clean_j))
+    with torch.no_grad():
+        sample_t, feats_t = e2e.emb.get_stylegan_feats(clean_m)
+    sample_j, feats_j = e2e.pipe.psp.decode_with_feats(
+        psp_p, clean_j, noise_rng=jax.random.key(1))
+    np.testing.assert_allclose(np.asarray(sample_j),
+                               sample_t.numpy().transpose(0, 2, 3, 1),
+                               rtol=2e-2, atol=2e-2)
+    assert len(feats_j) == len(feats_t)
+
+    # ---- stage 4: RestoreNet, MATCHED (low, feats, latent, z) — feed the
+    # torch-side feats through our net's converted params
+    noise_latent = e2e.pipe.generator.apply(
+        {"params": e2e.params["generator"]}, jnp.asarray(z[None]), None,
+        method=type(e2e.pipe.generator).map_styles)
+    with torch.no_grad():
+        restored_t = e2e.tnet(low_t, feats_t, clean_m,
+                              [torch.from_numpy(z)])
+    feats_m = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats_t]
+    restored_j = e2e.pipe.generator.apply(
+        {"params": e2e.params["generator"]}, low_j, feats_m, clean_j,
+        noise_latent, input_is_latent=True, deterministic=True,
+        rngs={"noise": jax.random.key(2)})
+
+    ref_img = restored_t.numpy().transpose(0, 2, 3, 1)
+    err = np.abs(np.asarray(restored_j) - ref_img)
+    scale = max(1.0, float(np.abs(ref_img).max()))
+    assert err.mean() < 5e-3 * scale, (err.mean(), scale)
+    assert np.quantile(err, 0.999) < 5e-2 * scale, (
+        np.quantile(err, 0.999), scale)
+
+    # ---- full chain, each framework's own upstream (glue check; loose —
+    # documents the random-weight amplification, not a conversion defect)
+    with torch.no_grad():
+        own_latent = _torch_ddpm_chain(
+            e2e.tddpm, torch.from_numpy(init_noise), low_latent_t)
+        own_sample, own_feats = e2e.emb.get_stylegan_feats(own_latent)
+        own_restored = e2e.tnet(low_t, own_feats, own_latent,
+                                [torch.from_numpy(z)])
+    restored_own_j = e2e.pipe.generator.apply(
+        {"params": e2e.params["generator"]}, low_j, feats_j, clean_j,
+        noise_latent, input_is_latent=True, deterministic=True,
+        rngs={"noise": jax.random.key(2)})
+    own_img = own_restored.numpy().transpose(0, 2, 3, 1)
+    own_scale = max(1.0, float(np.abs(own_img).max()))
+    err_own = np.abs(np.asarray(restored_own_j) - own_img)
+    assert err_own.mean() < 0.1 * own_scale, (err_own.mean(), own_scale)
+
+
+def test_full_pipeline_restore_smoke(e2e, rng):
+    """pipe.restore (the product entry) runs end-to-end on the converted
+    params and returns finite images + the style-prompt sample."""
+    low = jnp.asarray(
+        rng.uniform(-1, 1, (2, OUT_SIZE, OUT_SIZE, 3)).astype(np.float32))
+    out, sample = e2e.pipe.restore(e2e.params, low, jax.random.key(0),
+                                   return_sample=True)
+    assert out.shape == (2, OUT_SIZE, OUT_SIZE, 3)
+    assert sample.shape == (2, OUT_SIZE, OUT_SIZE, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(sample)).all()

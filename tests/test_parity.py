@@ -39,11 +39,11 @@ def ref():
     return load_reference_modules()
 
 
-def randomize_(module: "torch.nn.Module", seed: int = 0):
+def randomize_(module: "torch.nn.Module", seed: int = 0, scale: float = 0.5):
     g = torch.Generator().manual_seed(seed)
     with torch.no_grad():
         for p in module.parameters():
-            p.copy_(torch.randn(p.shape, generator=g) * 0.5)
+            p.copy_(torch.randn(p.shape, generator=g) * scale)
         # only BN running stats; blur kernels / registered noises are
         # structural constants and must keep their defaults
         for name, b in module.named_buffers():

@@ -6,6 +6,8 @@
   python -m vspbfr_tpu.cli.convert_ckpt arcface --torch Arcface.pth --out ckpts/arcface
   python -m vspbfr_tpu.cli.convert_ckpt lpips --torch vgg16_torchvision.pth \
       --lin my_lpips/weights/v0.1/vgg.pth --out ckpts/lpips
+  python -m vspbfr_tpu.cli.convert_ckpt inception --torch inception_v3_torchvision.pth \
+      --out ckpts/inception
 
 Checkpoint layouts per `restoration_test.py:31-40`, `:239-250`,
 `e4e/models/psp.py:122-143`, `Loss/id_loss.py:13-15`.
@@ -34,7 +36,7 @@ from vspbfr_tpu.utils import save_checkpoint
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("kind", choices=["psp", "diffuser", "restore", "arcface",
-                                    "lpips"])
+                                    "lpips", "inception"])
     p.add_argument("--torch", dest="torch_path", required=True)
     p.add_argument("--lin", default=None, help="LPIPS lin weights (lpips only)")
     p.add_argument("--out", required=True)
@@ -93,7 +95,7 @@ def main(argv=None) -> None:
         m = ResNet101Embedder()
         flax0 = m.init(key, jnp.zeros((1, 112, 112, 3)))["params"]
         params = {"id": convert_resnet101(flax0, sd)}
-    else:  # lpips
+    elif args.kind == "lpips":
         from vspbfr_tpu.losses.lpips import LPIPS
         vgg_sd = load_torch_state_dict(args.torch_path)
         lin_sd = load_torch_state_dict(args.lin)
@@ -101,6 +103,13 @@ def main(argv=None) -> None:
         z = jnp.zeros((1, 64, 64, 3))
         flax0 = m.init(key, z, z)["params"]
         params = {"lpips": convert_lpips(flax0, vgg_sd, lin_sd)}
+    else:  # inception (torchvision inception_v3 -> standard-FID features)
+        from vspbfr_tpu.convert.torch_import import convert_inception_v3
+        from vspbfr_tpu.losses.inception import InceptionV3Features
+        sd = load_torch_state_dict(args.torch_path)
+        m = InceptionV3Features()
+        flax0 = m.init(key, jnp.zeros((1, 299, 299, 3)))["params"]
+        params = {"inception": convert_inception_v3(flax0, sd)}
 
     save_checkpoint(args.out, params)
     print(f"converted {args.kind} -> {args.out}")

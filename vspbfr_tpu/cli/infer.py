@@ -42,9 +42,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--decoder_size", type=int, default=1024,
                    help="frozen StyleGAN2 decoder resolution")
+    p.add_argument("--packed_min_res", type=int, default=512,
+                   help="space-to-depth layout threshold (0 disables)")
     p.add_argument("--debug", action="store_true",
                    help="truncate each dataset to 10 batches")
     p.add_argument("--save_images", action="store_true", default=True)
+    p.add_argument("--lpips_ckpt", default=None,
+                   help="converted LPIPS params (cli.convert_ckpt lpips) — "
+                        "adds in-process LPIPS scoring")
+    p.add_argument("--inception_ckpt", default=None,
+                   help="converted InceptionV3 params (cli.convert_ckpt "
+                        "inception) — adds standard-FID scoring")
     return p
 
 
@@ -53,7 +61,8 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
     pipe = RestorationPipeline(size=args.size,
-                               decoder_size=args.decoder_size)
+                               decoder_size=args.decoder_size,
+                               packed_min_res=args.packed_min_res)
     if args.ckpt:
         params = load_checkpoint(args.ckpt)
         params = params.get("params", params)
@@ -73,6 +82,18 @@ def main(argv=None) -> None:
     names = args.names or [f"data{i}" for i in range(len(args.lq_dirs))]
     key = jax.random.key(args.seed)
 
+    lpips_apply = feature_fn = None
+    if args.lpips_ckpt:
+        from vspbfr_tpu.losses.lpips import LPIPS
+        lp = load_checkpoint(args.lpips_ckpt)["lpips"]
+        net = LPIPS()
+        lpips_apply = jax.jit(
+            lambda a, b: net.apply({"params": lp}, a, b))
+    if args.inception_ckpt:
+        from vspbfr_tpu.losses.inception import make_inception_feature_fn
+        feature_fn = make_inception_feature_fn(
+            load_checkpoint(args.inception_ckpt)["inception"])
+
     for lq_root, hq_root, name in zip(args.lq_dirs, hq_dirs, names):
         out_dir = os.path.join(args.out, name)
         os.makedirs(out_dir, exist_ok=True)
@@ -81,7 +102,11 @@ def main(argv=None) -> None:
                                 im_size=(args.size, args.size))
         loader = DataLoader(ds, args.batch, shuffle=False, drop_last=False,
                             num_workers=4)
-        tot_psnr, tot_ssim, n = 0.0, 0.0, 0
+        tot_psnr, tot_ssim, tot_lpips, n = 0.0, 0.0, 0.0, 0
+        stats_r = stats_g = None
+        if feature_fn is not None:
+            from vspbfr_tpu.evaluation import FeatureStats
+            stats_r, stats_g = FeatureStats(2048), FeatureStats(2048)
         for bi, batch in enumerate(loader.epoch(0)):
             if args.debug and bi >= 10:
                 break
@@ -110,11 +135,25 @@ def main(argv=None) -> None:
                                                jnp.asarray(gt))))
                 tot_ssim += float(jnp.sum(ssim(jnp.asarray(restored),
                                                jnp.asarray(gt))))
+                if lpips_apply is not None:
+                    tot_lpips += float(jnp.sum(lpips_apply(
+                        jnp.asarray(restored), jnp.asarray(gt))))
+                if stats_r is not None:
+                    stats_r.update(np.asarray(feature_fn(
+                        jnp.asarray(restored))))
+                    stats_g.update(np.asarray(feature_fn(jnp.asarray(gt))))
             n += low.shape[0]
         if n and hq_root != "None":
-            logger.log(n, {"psnr": tot_psnr / n, "ssim": tot_ssim / n})
-            print(f"{name}: n={n} psnr={tot_psnr / n:.3f} "
-                  f"ssim={tot_ssim / n:.4f}")
+            scores = {"psnr": tot_psnr / n, "ssim": tot_ssim / n}
+            if lpips_apply is not None:
+                scores["lpips"] = tot_lpips / n
+            if stats_r is not None:
+                from vspbfr_tpu.evaluation import frechet_distance
+                scores["fid"] = frechet_distance(*stats_r.finalize(),
+                                                 *stats_g.finalize())
+            logger.log(n, scores)
+            print(f"{name}: n={n} " +
+                  " ".join(f"{k}={v:.4f}" for k, v in scores.items()))
         else:
             print(f"{name}: n={n} (no GT)")
 

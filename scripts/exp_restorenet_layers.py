@@ -1,14 +1,27 @@
 """Per-layer latency of the RestoreNet (512px, batch 4, production
 packed_min_res=512) on the current device: encoder SMART + downsample per
 resolution, decoder up + SMART + ToRGB per resolution, plus the 4x4 head.
-Finds where the ~75 ms restore stage goes (queue-then-flush timing)."""
+Finds where the ~75 ms restore stage goes (queue-then-flush timing).
+
+VSPBFR_PROF_DTYPE=bf16 profiles the bf16 compute path."""
 
 import math
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+DTYPE = (jnp.bfloat16 if os.environ.get("VSPBFR_PROF_DTYPE") == "bf16"
+         else jnp.float32)
+
+
+def _cast(tree):
+    return jax.tree.map(
+        lambda x: x.astype(DTYPE)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
 
 from vspbfr_tpu.models.layers import (
     LargeConvLayer,
@@ -39,10 +52,10 @@ def timeit(fn, n=20):
 def t_smart(key, b, res, c, packed, style_mult):
     hw = res // 2 if packed else res
     cc = 4 * c if packed else c
-    x = jax.random.normal(key, (b, hw, hw, cc))
-    s = jax.random.normal(key, (b, style_mult * 512)) * 0.1
+    x = jax.random.normal(key, (b, hw, hw, cc), DTYPE)
+    s = jax.random.normal(key, (b, style_mult * 512), DTYPE) * 0.1
     m = SMARTLayer(c, packed=packed)
-    p = m.init({"params": key, "noise": key}, x, s)["params"]
+    p = _cast(m.init({"params": key, "noise": key}, x, s)["params"])
     f = jax.jit(lambda p, x, s, k: m.apply({"params": p}, x, s,
                                            rngs={"noise": k}))
     return timeit(lambda i: f(p, x, s, jax.random.key(i)))
@@ -51,11 +64,11 @@ def t_smart(key, b, res, c, packed, style_mult):
 def t_styled(key, b, res_in, cin, cout, up, down, pk_in, pk_out, style_mult):
     hw = res_in // 2 if pk_in else res_in
     cc = 4 * cin if pk_in else cin
-    x = jax.random.normal(key, (b, hw, hw, cc))
-    s = jax.random.normal(key, (b, style_mult * 512)) * 0.1
+    x = jax.random.normal(key, (b, hw, hw, cc), DTYPE)
+    s = jax.random.normal(key, (b, style_mult * 512), DTYPE) * 0.1
     m = StyledConv(cout, 3, upsample=up, downsample=down,
                    packed_in=pk_in, packed_out=pk_out)
-    p = m.init({"params": key, "noise": key}, x, s)["params"]
+    p = _cast(m.init({"params": key, "noise": key}, x, s)["params"])
     f = jax.jit(lambda p, x, s, k: m.apply({"params": p}, x, s,
                                            rngs={"noise": k}))
     return timeit(lambda i: f(p, x, s, jax.random.key(i)))
@@ -64,13 +77,13 @@ def t_styled(key, b, res_in, cin, cout, up, down, pk_in, pk_out, style_mult):
 def t_torgb(key, b, res, c, pk, sk_pk, style_mult):
     hw = res // 2 if pk else res
     cc = 4 * c if pk else c
-    x = jax.random.normal(key, (b, hw, hw, cc))
-    s = jax.random.normal(key, (b, style_mult * 512)) * 0.1
+    x = jax.random.normal(key, (b, hw, hw, cc), DTYPE)
+    s = jax.random.normal(key, (b, style_mult * 512), DTYPE) * 0.1
     sk_hw = res // 4 if sk_pk else res // 2
     sk_c = 12 if sk_pk else 3
-    sk = jax.random.normal(key, (b, sk_hw, sk_hw, sk_c))
+    sk = jax.random.normal(key, (b, sk_hw, sk_hw, sk_c), DTYPE)
     m = ToRGB(packed=pk, skip_packed=sk_pk)
-    p = m.init({"params": key}, x, s, sk)["params"]
+    p = _cast(m.init({"params": key}, x, s, sk)["params"])
     f = jax.jit(lambda p, x, s, sk: m.apply({"params": p}, x, s, sk))
     return timeit(lambda i: f(p, x, s, sk))
 
@@ -111,9 +124,9 @@ def main(b=4, size=512, pmr=512):
               f"up {tu*1e3:6.2f}  smart {ts*1e3:6.2f}  "
               f"torgb {tr*1e3:6.2f} ms")
 
-    x4 = jax.random.normal(key, (b, 4, 4, 512))
+    x4 = jax.random.normal(key, (b, 4, 4, 512), DTYPE)
     m = LargeConvLayer(512, kernel_size=3)
-    p = m.init(key, x4)["params"]
+    p = _cast(m.init(key, x4)["params"])
     f = jax.jit(lambda p, x: m.apply({"params": p}, x))
     tf = timeit(lambda i: f(p, x4))
     total += tf

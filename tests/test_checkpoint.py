@@ -5,7 +5,8 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from vspbfr_tpu.utils import Logger, ScoreTracker, load_checkpoint, save_checkpoint
+from vspbfr_tpu.utils import (Logger, ScoreTracker, load_checkpoint,
+                              save_checkpoint, wait_for_saves)
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -23,6 +24,23 @@ def test_checkpoint_roundtrip(tmp_path):
     tree["iter"] = 43
     save_checkpoint(path, tree)
     assert int(load_checkpoint(path)["iter"]) == 43
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_save overlaps disk I/O with training; wait_for_saves commits.
+    Back-to-back async saves to the same path must serialize (last wins)."""
+    tree = {"w": np.arange(4, dtype=np.float32), "iter": 1}
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, tree, async_save=True)
+    tree2 = {"w": np.arange(4, dtype=np.float32) * 2, "iter": 2}
+    save_checkpoint(path, tree2, async_save=True)
+    wait_for_saves()
+    back = load_checkpoint(path)
+    np.testing.assert_array_equal(back["w"], tree2["w"])
+    assert int(back["iter"]) == 2
+    # sync and async saves interoperate on the same directory layout
+    save_checkpoint(path, tree)
+    assert int(load_checkpoint(path)["iter"]) == 1
 
 
 def test_logger(tmp_path):

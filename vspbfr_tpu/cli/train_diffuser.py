@@ -19,7 +19,8 @@ from vspbfr_tpu.parallel import DataParallel, create_mesh
 from vspbfr_tpu.parallel.mesh import maybe_initialize_distributed
 from vspbfr_tpu.pipeline import RestorationPipeline
 from vspbfr_tpu.train.diffuser_train import DiffuserTrainConfig, DiffuserTrainer
-from vspbfr_tpu.utils import Logger, load_checkpoint, save_checkpoint
+from vspbfr_tpu.utils import (Logger, load_checkpoint, save_checkpoint,
+                              wait_for_saves)
 from vspbfr_tpu.utils.images import save_image_grid
 
 
@@ -49,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frozen StyleGAN2 decoder resolution")
     p.add_argument("--packed_min_res", type=int, default=512,
                    help="space-to-depth layout threshold (0 disables)")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of N steps (after "
+                        "warmup) into <out>/trace, viewable in XProf")
     p.add_argument("--debug", action="store_true",
                    help="400-image subset + short intervals")
     return p
@@ -142,7 +146,10 @@ def main(argv=None) -> None:
     loader = DataLoader(ds, global_batch, seed=args.seed,
                         shard_index=jax.process_index(),
                         shard_count=jax.process_count())
-    logger = Logger(args.out)
+    # rank-0-only observability + persistence, like the reference's
+    # `get_rank() == 0` gates (`code_diffuser_train.py:205,214,233`)
+    is_lead = jax.process_index() == 0
+    logger = Logger(args.out) if is_lead else None
     ckpt_dir = os.path.join(args.out, "checkpoint", "code_diffuser")
 
     it = start_iter
@@ -155,24 +162,42 @@ def main(argv=None) -> None:
         key, sub = jax.random.split(key)
         state, metrics = step(state, frozen, lq, gt, sub)
         it += 1
-        if it % 10 == 0:
+        if args.profile:
+            # trace a steady-state window (skip the compile + warmup steps)
+            if it == start_iter + 4:
+                jax.block_until_ready(metrics)
+                jax.profiler.start_trace(os.path.join(args.out, "trace"))
+            elif it == start_iter + 4 + args.profile:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+        if it % 10 == 0 and is_lead:
             m = {k: float(v) for k, v in metrics.items()}
             logger.log(it, m)
             if it % 100 == 0:
                 print(f"[{it}] " + " ".join(f"{k}:{v:.4f}" for k, v in m.items()))
         if it % args.show_inter == 0:
+            # computed by EVERY process (global-array inputs require all
+            # processes to participate); only the PNG write is rank-0
             import numpy as np
+            from jax.experimental import multihost_utils as mhu
             refined, ori, real_inv = sample_fn(
                 state.params, frozen["psp"], lq[:4], gt[:4],
                 jax.random.key(it))
-            os.makedirs(os.path.join(args.out, "samples"), exist_ok=True)
-            save_image_grid(
-                os.path.join(args.out, "samples", f"{it:06d}.png"),
-                [np.asarray(lq[:4]), np.asarray(refined), np.asarray(ori),
-                 np.asarray(real_inv), np.asarray(gt[:4])])
+            imgs = [mhu.process_allgather(x, tiled=True)
+                    for x in (lq[:4], refined, ori, real_inv, gt[:4])]
+            if is_lead:
+                os.makedirs(os.path.join(args.out, "samples"), exist_ok=True)
+                save_image_grid(
+                    os.path.join(args.out, "samples", f"{it:06d}.png"),
+                    [np.asarray(x) for x in imgs])
         if it % args.save_inter == 0:
+            # non-blocking: disk write overlaps the next train steps. Every
+            # process calls save (orbax saves are collective — internal
+            # barriers + primary-host-only writing)
             save_checkpoint(
-                ckpt_dir, jax.device_get(full_ckpt_tree(state, key, it)))
+                ckpt_dir, jax.device_get(full_ckpt_tree(state, key, it)),
+                async_save=True)
+    wait_for_saves()
 
 
 if __name__ == "__main__":

@@ -22,7 +22,8 @@ from vspbfr_tpu.parallel import DataParallel, create_mesh
 from vspbfr_tpu.parallel.mesh import maybe_initialize_distributed
 from vspbfr_tpu.pipeline import RestorationPipeline
 from vspbfr_tpu.train.restore_train import RestoreTrainConfig, RestoreTrainer
-from vspbfr_tpu.utils import Logger, load_checkpoint, save_checkpoint
+from vspbfr_tpu.utils import (Logger, load_checkpoint, save_checkpoint,
+                              wait_for_saves)
 from vspbfr_tpu.utils.images import save_image_grid
 
 
@@ -60,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frozen StyleGAN2 decoder resolution")
     p.add_argument("--packed_min_res", type=int, default=512,
                    help="space-to-depth layout threshold (0 disables)")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of N steps (after "
+                        "warmup) into <out>/trace, viewable in XProf")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -169,7 +173,10 @@ def main(argv=None) -> None:
     loader = DataLoader(ds, global_batch, seed=args.seed,
                         shard_index=jax.process_index(),
                         shard_count=jax.process_count())
-    logger = Logger(args.out)
+    # rank-0-only observability + persistence, like the reference's
+    # `get_rank() == 0` gates (`restoration_train.py:258,278,291`)
+    is_lead = jax.process_index() == 0
+    logger = Logger(args.out) if is_lead else None
     ckpt_dir = os.path.join(args.out, "checkpoint", "restore")
 
     it = start_iter
@@ -188,26 +195,45 @@ def main(argv=None) -> None:
             g_state, d_state, g_ema, metrics = step(
                 g_state, d_state, g_ema, frozen, lq1, gt, sub)
         it += 1
-        if it % 10 == 0:
+        if args.profile:
+            # trace a steady-state window (skip the compile + warmup steps)
+            if it == start_iter + 4:
+                jax.block_until_ready(metrics)
+                jax.profiler.start_trace(os.path.join(args.out, "trace"))
+            elif it == start_iter + 4 + args.profile:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+        if it % 10 == 0 and is_lead:
             m = {k: float(v) for k, v in metrics.items()}
             logger.log(it, m)
             if it % 100 == 0:
                 print(f"[{it}] " + " ".join(f"{k}:{v:.4f}" for k, v in m.items()))
         if it % args.show_inter == 0:
             # visual checkpoint with the EMA generator
-            # (`restoration_train.py:278-288`)
+            # (`restoration_train.py:278-288`). Computed by EVERY process —
+            # the inputs are global arrays, and multi-controller JAX
+            # requires all processes to execute ops on them; only the PNG
+            # write is rank-0.
+            from jax.experimental import multihost_utils as mhu
             sample = sample_fn(
                 {"psp": frozen["psp"], "diffuser": frozen["diffuser"],
                  "generator": g_ema},
                 lq1[:4], jax.random.key(it))
-            os.makedirs(os.path.join(args.out, "samples"), exist_ok=True)
-            save_image_grid(
-                os.path.join(args.out, "samples", f"{it:06d}.png"),
-                [np.asarray(lq1[:4]), np.asarray(sample),
-                 np.asarray(gt[:4])])
+            imgs = [mhu.process_allgather(x, tiled=True)
+                    for x in (lq1[:4], sample, gt[:4])]
+            if is_lead:
+                os.makedirs(os.path.join(args.out, "samples"), exist_ok=True)
+                save_image_grid(
+                    os.path.join(args.out, "samples", f"{it:06d}.png"),
+                    [np.asarray(x) for x in imgs])
         if it % args.save_inter == 0:
+            # non-blocking: disk write overlaps the next train steps. Every
+            # process calls save (orbax saves are collective — internal
+            # barriers + primary-host-only writing)
             save_checkpoint(ckpt_dir, jax.device_get(full_ckpt_tree(
-                g_state, d_state, g_ema, ada_state, key, it)))
+                g_state, d_state, g_ema, ada_state, key, it)),
+                async_save=True)
+    wait_for_saves()
 
 
 if __name__ == "__main__":

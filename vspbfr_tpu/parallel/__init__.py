@@ -2,6 +2,8 @@ from vspbfr_tpu.parallel.mesh import (
     DataParallel,
     create_mesh,
     local_batch_slice,
+    maybe_initialize_distributed,
+    process_barrier,
     replicated,
     batch_sharded,
 )
@@ -10,6 +12,8 @@ __all__ = [
     "DataParallel",
     "create_mesh",
     "local_batch_slice",
+    "maybe_initialize_distributed",
+    "process_barrier",
     "replicated",
     "batch_sharded",
 ]

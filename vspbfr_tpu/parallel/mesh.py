@@ -32,17 +32,44 @@ def maybe_initialize_distributed() -> None:
     """Multi-host bring-up: replaces the reference's SLURM rank math + NCCL
     env rendezvous (`restoration_train.py:344-373`). On TPU pods JAX
     auto-detects everything; elsewhere the standard JAX_COORDINATOR_ADDRESS /
-    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars are honoured. No-op when
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars are honoured (on CPU the
+    cross-process collective layer is gloo, jax's default). No-op when
     single-process or already initialized."""
     import os
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "MEGASCALE_COORDINATOR_ADDRESS"):
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized by the runtime
+    # NOTE: do not probe jax.process_count() here — it initializes the local
+    # backend, after which distributed.initialize can no longer take effect.
+    if jax.distributed.is_initialized():
+        return
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    try:
+        if nproc is not None and pid is not None:
+            jax.distributed.initialize(coordinator_address=addr,
+                                       num_processes=int(nproc),
+                                       process_id=int(pid))
+        else:
+            jax.distributed.initialize()  # cluster auto-detection
+    except RuntimeError:
+        pass  # already initialized by the runtime
+
+
+def process_barrier(name: str = "barrier", timeout_ms: int = 1_200_000) -> None:
+    """Cross-process barrier through the distributed coordinator — the
+    reference's `distributed.synchronize()` (`distributed.py:19-35`). Unlike
+    a collective (psum/sync_global_devices) this never touches the device
+    collective layer, so it is safe to call BEFORE the first collective —
+    e.g. to align processes after skewed compile times so the gloo/ICI
+    context handshake (default 30 s) cannot time out. No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed as _dist
+    client = _dist.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def create_mesh(n_devices: int | None = None, axis: str = "data",
@@ -87,13 +114,32 @@ class DataParallel:
         return self.mesh.devices.size
 
     def shard_batch(self, tree: Any) -> Any:
-        """Place a host pytree with device-sharded leading batch axes."""
+        """Place a host pytree with device-sharded leading batch axes.
+
+        Single-process: device_put of the full batch. Multi-process: each
+        process passes its LOCAL batch shard (global_batch / process_count
+        rows, `local_batch_slice` / the dataset's shard_index — the
+        reference's DistributedSampler semantics) and the shards are
+        assembled into one global jax.Array."""
         sh = batch_sharded(self.mesh, self.axis)
-        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+        if jax.process_count() == 1:
+            return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
 
     def replicate(self, tree: Any) -> Any:
+        """Replicate a (host- or process-local) pytree over the whole mesh.
+
+        Multi-process: every process must pass the same values (e.g. params
+        initialized from the same PRNG key), mirroring DDP's requirement
+        that ranks start from identical weights."""
         sh = replicated(self.mesh)
-        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+        if jax.process_count() == 1:
+            return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
 
     def batch_spec(self) -> NamedSharding:
         return batch_sharded(self.mesh, self.axis)

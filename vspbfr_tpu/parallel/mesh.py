@@ -82,8 +82,61 @@ def create_mesh(n_devices: int | None = None, axis: str = "data",
     return Mesh(np.asarray(devices), (axis,))
 
 
+def create_mesh_2d(n_data: int, n_model: int,
+                   axes: tuple[str, str] = ("data", "model"),
+                   devices=None) -> Mesh:
+    """2-D mesh: data-parallel x model/spatial-parallel.
+
+    Goes beyond the reference's DDP-only scaling (SURVEY.md §2.6): the
+    second axis serves either Megatron-style weight sharding
+    (`model_param_specs`) or spatial partitioning of the conv activations
+    (`spatial_sharded` — GSPMD inserts the halo exchanges), both of which
+    the reference's NCCL runtime has no counterpart for. On a real pod lay
+    the model axis innermost so its (chattier) collectives ride ICI."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_model
+    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_model), axes)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def spatial_sharded(mesh: Mesh, axis: str = "model",
+                    batch_axis: str | None = "data") -> NamedSharding:
+    """Shard NHWC activations over H (and optionally batch over the data
+    axis): P(batch_axis, axis). For convolutions XLA/GSPMD lowers this to
+    per-shard convs + k-1-row halo exchanges — rows, not feature maps, so
+    the communication volume is tiny relative to channel-sharded TP. The
+    natural scale-out for the big 512/1024px conv stages."""
+    if batch_axis is not None and batch_axis in mesh.axis_names:
+        return NamedSharding(mesh, P(batch_axis, axis))
+    return NamedSharding(mesh, P(None, axis))
+
+
+def model_param_specs(tree: Any, mesh: Mesh, axis: str = "model",
+                      min_size: int = 256) -> Any:
+    """Megatron-style weight sharding specs for an arbitrary param pytree:
+    shard the LAST axis (conv Co / dense out-features) over `axis` when it
+    divides evenly and is at least min_size; replicate everything else
+    (biases, styles, small heads). GSPMD propagates the activation
+    shardings and inserts the all-gathers/reduce-scatters — no model-code
+    changes, exactly the "annotate and let XLA insert collectives" recipe.
+
+    Works for optimizer states too (moments mirror param shapes), so a
+    whole TrainState can be placed with one tree.map."""
+    n = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 2 and shape[-1] >= min_size and shape[-1] % n == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + [axis])))
+        return repl
+
+    return jax.tree.map(spec, tree)
 
 
 def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -179,11 +179,14 @@ def main(argv=None) -> None:
     logger = Logger(args.out) if is_lead else None
     ckpt_dir = os.path.join(args.out, "checkpoint", "restore")
 
+    from vspbfr_tpu.utils.runtime import GracefulShutdown
+    stop = GracefulShutdown()
+
     it = start_iter
     # resume the deterministic data stream where it left off
     start_epoch, start_batch = divmod(start_iter, loader.batches_per_epoch())
     for batch in loader.forever(start_epoch, start_batch):
-        if it >= args.iter:
+        if it >= args.iter or stop.requested:
             break
         lq1, _, gt = batch
         lq1, gt = dp.shard_batch((jnp.asarray(lq1), jnp.asarray(gt)))
@@ -226,14 +229,17 @@ def main(argv=None) -> None:
                 save_image_grid(
                     os.path.join(args.out, "samples", f"{it:06d}.png"),
                     [np.asarray(x) for x in imgs])
-        if it % args.save_inter == 0:
+        if it % args.save_inter == 0 or stop.requested:
             # non-blocking: disk write overlaps the next train steps. Every
             # process calls save (orbax saves are collective — internal
-            # barriers + primary-host-only writing)
+            # barriers + primary-host-only writing). On a preemption signal
+            # this is the final state — at most one step is lost.
             save_checkpoint(ckpt_dir, jax.device_get(full_ckpt_tree(
                 g_state, d_state, g_ema, ada_state, key, it)),
                 async_save=True)
     wait_for_saves()
+    if stop.requested and is_lead:
+        print(f"[shutdown] checkpoint committed at iter {it}", flush=True)
 
 
 if __name__ == "__main__":

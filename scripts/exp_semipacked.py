@@ -38,13 +38,22 @@ DTYPE = (jnp.bfloat16 if os.environ.get("VSPBFR_PROF_DTYPE") == "bf16"
          else jnp.float32)
 
 
+def flush(x):
+    # over the axon tunnel block_until_ready does not actually block;
+    # force completion by reading back a scalar reduction
+    return float(np.asarray(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32))))
+
+
 def timeit(fn, n=30):
-    fn(0)
-    jax.block_until_ready(fn(1))
-    t0 = time.perf_counter()
-    outs = [fn(i) for i in range(2, 2 + n)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / n
+    def run(k):
+        out = None
+        t0 = time.perf_counter()
+        for i in range(k):
+            out = fn(i)
+        flush(out)
+        return time.perf_counter() - t0
+    run(2)  # warmup/compile
+    return (run(2 + n) - run(2)) / n
 
 
 def tf_s(flops, dt):

@@ -109,11 +109,16 @@ def main() -> None:
     imgs_per_sec = BATCH / dt
     f32_imgs_per_sec = BATCH / dt32
 
-    # bf16 quality vs the f32 pipeline on the same inputs + random stream
+    # bf16 quality vs the f32 pipeline on the same inputs + random stream.
+    # data_range adapts to the actual output magnitude: with random init
+    # the un-normalized ToRGB skip cascade emits O(100) values, so a fixed
+    # [-1,1] range would report garbage (with converted trained weights
+    # outputs are in [-1,1] and this reduces to the usual PSNR).
     out16 = np.asarray(restore(params, low, jax.random.key(7)))
     out32 = np.asarray(restore32(params, low, jax.random.key(7)))
     mse = float(np.mean((out16 - out32) ** 2))
-    psnr_db = round(10 * np.log10(4.0 / max(mse, 1e-12)), 2)
+    rng_ = max(2.0 * float(np.abs(out32).max()), 2.0)
+    psnr_db = round(10 * np.log10(rng_ ** 2 / max(mse, 1e-12)), 2)
 
     # auditable FLOPs + MFU from the compiled executable
     flops = mfu = None

@@ -24,9 +24,15 @@ form but with groups of the SAME size at 2x the spatial extent (identical
 total FLOPs), so the even-dilation branches are a wash by construction; the
 win to measure is the dense/odd-dilation (fusion) convs.
 
-Op-level only for now: scripts/exp_semipacked.py measures the candidate vs
-the packed forms on hardware; model wiring happens only on a measured win
-(same discipline as the two rejected SMART fusion kernels).
+VERDICT (round-2, measured on v5e at the model shapes — see
+scripts/exp_semipacked2.py and ROADMAP.md): **rejected for model wiring.**
+The fusion conv does win as predicted (bf16 1.71 ms vs 2.53 ms packed),
+but the full SMART composition loses (semi 11.32 ms vs packed 9.07 ms
+per instance): on the 2x2-packed grid both d=1 and d=2 collapse to one
+3x3 footprint, so the packed d1+d2 merge runs as a single 128-out-lane
+Pallas conv (1.74 ms) where semi pays two lane-starved branches (4.62 ms).
+These ops stay as the tested reference for the decision record (same
+discipline as the two rejected SMART fusion kernels).
 
 Reference context: these resolutions are the reference's dilated-conv SMART
 layers (`/root/reference/models/RestoreNet.py:421-555`); the layout choice

@@ -115,6 +115,27 @@ def main():
     gflop3 = 2 * b * 128 * 128 * 2 * 9 * 256 * 64 / 1e9
     bench_case("128 unpacked d4|d8", x3, cur_128, pair_128, gflop3)
 
+    # --- full 4-branch unpacked merge (the 256-res SMART branch set) ---
+    from vspbfr_tpu.ops.pallas_dilated import dilated_multi_conv
+    from vspbfr_tpu.ops.pallas_conv import conv2d_dense
+    w1 = (jax.random.normal(jax.random.key(9), (3, 3, ci2, cb2)) * 0.1).astype(DTYPE)
+    w2 = (jax.random.normal(jax.random.key(10), (3, 3, ci2, cb2)) * 0.1).astype(DTYPE)
+
+    def cur_multi(x):
+        o1 = conv2d_dense(x, w1, ((1, 1), (1, 1)), in_scale=isc2)
+        xs = x * isc2[:, None, None, :]
+        o2 = conv2d(xs, w2, padding=2, dilation=2)
+        oa_ = conv2d(xs, wa, padding=4, dilation=4)
+        ob_ = conv2d(xs, wb, padding=8, dilation=8)
+        return jnp.concatenate([o1, o2, oa_, ob_], axis=-1)
+
+    def multi_fn(x):
+        return dilated_multi_conv(x2, (w1, w2, wa, wb), (1, 2, 4, 8),
+                                  in_scale=isc2)
+
+    gflop4 = 2 * gflop2
+    bench_case("256 unpacked d1|d2|d4|d8", x2, cur_multi, multi_fn, gflop4)
+
 
 if __name__ == "__main__":
     print(f"dtype={DTYPE.__name__} backend={jax.default_backend()}")

@@ -454,6 +454,9 @@ class SMARTLayer(nn.Module):
                      and self.kernel_size == 3
                      and tuple(self.rates)[:2] == (1, 2)
                      and not return_intermediates)
+        merge_all = (not self.packed and not self.upsample
+                     and self.kernel_size == 3
+                     and not return_intermediates)
         if merge_d12:
             # d=1 and d=2 share the packed 3x3 footprint: one conv with
             # 2x the output lanes (Pallas-eligible at Cb = C/4)
@@ -463,8 +466,28 @@ class SMARTLayer(nn.Module):
             w2 = branch_conv(1, 2, return_weight=True)
             out12 = modulated_conv2d_d12_packed(x, w1, w2, mod,
                                                 demodulate=self.demodulate)
-            outs = [out12] + [branch_conv(i, r)
-                              for i, r in enumerate(self.rates) if i >= 2]
+            outs = [out12]
+            if tuple(self.rates)[2:] == (4, 8):
+                # the even-dilation pair rides ONE Pallas multi-dilation
+                # kernel (half-grid grouped taps-in-N; scripts/exp_d48.py:
+                # 2.07x bf16 / 1.81x f32 over the block-diag dense convs)
+                from vspbfr_tpu.ops.modulated_conv import \
+                    modulated_conv2d_d48_packed
+                w4 = branch_conv(2, 4, return_weight=True)
+                w8 = branch_conv(3, 8, return_weight=True)
+                outs.append(modulated_conv2d_d48_packed(
+                    x, w4, w8, mod, demodulate=self.demodulate))
+            else:
+                outs += [branch_conv(i, r)
+                         for i, r in enumerate(self.rates) if i >= 2]
+        elif merge_all:
+            # unpacked stride-1 SMART: all 4 branches in one multi-dilation
+            # kernel (1.97x at the 256-res shapes, scripts/exp_d48.py)
+            from vspbfr_tpu.ops.modulated_conv import modulated_conv2d_multi
+            ws = [branch_conv(i, r, return_weight=True)
+                  for i, r in enumerate(self.rates)]
+            outs = [modulated_conv2d_multi(x, ws, tuple(self.rates), mod,
+                                           demodulate=self.demodulate)]
         else:
             outs = [branch_conv(i, rate)
                     for i, rate in enumerate(self.rates)]

@@ -239,6 +239,60 @@ def modulated_conv2d_d12_packed(x: jnp.ndarray, w1: jnp.ndarray,
     return out
 
 
+def modulated_conv2d_d48_packed(x: jnp.ndarray, w4: jnp.ndarray,
+                                w8: jnp.ndarray, style: jnp.ndarray,
+                                demodulate: bool = True,
+                                eps: float = 1e-8) -> jnp.ndarray:
+    """SMART's dilation-4 and dilation-8 branches as ONE Pallas pair conv.
+
+    On the space-to-depth half grid both branches are phase-diagonal
+    (grouped) convs at half-grid dilations 2 and 4; the multi-dilation
+    Pallas kernel (ops/pallas_dilated.py) computes them over one shared
+    VMEM input stripe with taps-in-N matmuls and 8Cb-lane stores — 2.07x
+    (bf16) / 1.81x (f32) over the two block-diagonal dense convs at the
+    model shapes (scripts/exp_d48.py on v5e). Output channels:
+    [d4 phase-major 4Cb | d8 phase-major 4Cb] (branch-major, matching the
+    d1+d2 merge). Cites `models/RestoreNet.py:196-209` (the rates-[4,8]
+    branch pair of the SMART layer).
+    """
+    from vspbfr_tpu.ops import packed as pk
+    from vspbfr_tpu.ops.pallas_dilated import dilated_pair_conv
+
+    c_in = w4.shape[2]
+    scale = 1.0 / ((c_in * 9) ** 0.5)
+    sty = pk.pack_vector(style)
+    out = dilated_pair_conv(x, scale * w4, scale * w8, 2, 4, groups=4,
+                            in_scale=sty)
+    if demodulate:
+        d4 = demod_coeffs(w4, style, scale, eps)
+        d8 = demod_coeffs(w8, style, scale, eps)
+        dv = jnp.concatenate([pk.pack_vector(d4), pk.pack_vector(d8)], -1)
+        out = out * dv[:, None, None, :]
+    return out
+
+
+def modulated_conv2d_multi(x: jnp.ndarray, ws, rates, style: jnp.ndarray,
+                           demodulate: bool = True,
+                           eps: float = 1e-8) -> jnp.ndarray:
+    """All of SMART's stride-1 3x3 dilated branches as ONE multi-dilation
+    kernel over the unpacked layout (the 256-res-and-below SMART form):
+    shared input stripe, per-row taps-in-N matmuls, branch-concat output
+    (`models/RestoreNet.py:196-209`). Falls back to the identical XLA
+    composition off-TPU / at unprofitable shapes."""
+    from vspbfr_tpu.ops.pallas_dilated import dilated_multi_conv
+
+    c_in = ws[0].shape[2]
+    k = ws[0].shape[0]
+    scale = 1.0 / ((c_in * k * k) ** 0.5)
+    out = dilated_multi_conv(x, tuple(scale * w for w in ws), tuple(rates),
+                             groups=1, in_scale=style)
+    if demodulate:
+        dv = jnp.concatenate(
+            [demod_coeffs(w, style, scale, eps) for w in ws], -1)
+        out = out * dv[:, None, None, :]
+    return out
+
+
 def demod_coeffs(w: jnp.ndarray, style: jnp.ndarray, scale: float,
                  eps: float = 1e-8) -> jnp.ndarray:
     """Per-(sample, out-channel) demodulation rsqrt(sum((scale*W*s)^2)+eps).

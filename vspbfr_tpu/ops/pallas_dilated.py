@@ -139,16 +139,28 @@ def _multi_kernel(*refs, h_t, kpad2, ow, co_total, plan, has_isc):
     cp.wait()
     if has_isc:
         xs_ref[...] = xs_ref[...] * isc_ref[0][None]
-    acc = jnp.zeros((h_t, ow, co_total), jnp.float32)
-    for i, (r, _, entries) in enumerate(plan):
-        part = lax.dot_general(
+    parts = []
+    for i, (r, _, _) in enumerate(plan):
+        parts.append(lax.dot_general(
             xs_ref[r:r + h_t], w_refs[i][...],
             dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32))
+    # every plan entry spans its branch's ENTIRE output segment (width =
+    # co*groups by construction in _multi_plan), so the accumulation is a
+    # per-branch sum of 9 shifted partial slices stored at the branch's
+    # static lane offset — no scatter (unsupported by the Mosaic TC
+    # lowering) and no cross-offset lane concat (Mosaic layout limitation).
+    segs: dict[int, object] = {}
+    widths: dict[int, int] = {}
+    for i, (_, _, entries) in enumerate(plan):
         for _, _, _, col, out_base, x_off, width in entries:
-            acc = acc.at[:, :, out_base:out_base + width].add(
-                part[:, x_off:x_off + ow, col:col + width])
-    o_ref[0] = acc.astype(o_ref.dtype)
+            term = parts[i][:, x_off:x_off + ow, col:col + width]
+            segs[out_base] = term if out_base not in segs \
+                else segs[out_base] + term
+            widths[out_base] = width
+    for out_base, seg in segs.items():
+        o_ref[0, :, :, out_base:out_base + widths[out_base]] = (
+            seg.astype(o_ref.dtype))
 
 
 def _multi_pallas(x, ws, in_scale, dils, groups, interpret=False):

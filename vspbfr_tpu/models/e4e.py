@@ -121,6 +121,25 @@ class BottleneckIRSE(nn.Module):
 # (depth, num_units) per stage for IR-50 (`helpers.py:30-38`)
 IR50_STAGES = ((64, 3), (128, 4), (256, 14), (512, 3))
 
+# 1-unit-per-stage body for compile-budgeted dry-runs (structure-preserving:
+# same 4 stride-2 stages, same tap positions relative to stage ends)
+TINY_STAGES = ((16, 1), (32, 1), (64, 1), (128, 1))
+
+
+def _tap_indices(stages) -> tuple[int, int, int]:
+    """c1/c2/c3 tap block indices: the last unit of stages 2/3/4.
+
+    For IR50_STAGES this reproduces the reference's hardcoded 6/20/23
+    (`psp_encoders.py:140-148`); for other stage tuples the taps keep the
+    same structural meaning (end-of-stage features at 1/4, 1/8, 1/16 res).
+    """
+    ends = []
+    idx = 0
+    for _, num_units in stages:
+        idx += num_units
+        ends.append(idx - 1)
+    return ends[1], ends[2], ends[3]
+
 
 class GradualStyleBlock(nn.Module):
     """Stride-2 conv stack -> EqualLinear style head
@@ -153,6 +172,12 @@ class Encoder4Editing(nn.Module):
     # ProgressiveStage (`psp_encoders.py:12-31`): number of active deltas;
     # None = Inference (all style_count-1 deltas)
     progressive_stage: int | None = None
+    # IR-SE body + input resolution. Defaults reproduce the reference
+    # exactly; smaller values exist for compile-budgeted dry-runs (the
+    # encoder is resolution-independent of the pipeline size, so a tiny
+    # dry-run would otherwise still compile the full 256px IR-SE-50).
+    stages: tuple = IR50_STAGES
+    encode_size: int = 256
 
     @property
     def style_count(self) -> int:
@@ -163,38 +188,45 @@ class Encoder4Editing(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_feats: bool = False):
+        input_ch = min(64, self.stages[0][0])
         # input layer: conv3x3 + BN + PReLU (`psp_encoders.py:131-133`)
-        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="input_conv")(x)
-        x = FrozenBatchNorm(64, name="input_bn")(x)
-        x = PReLU(64, name="input_prelu")(x)
+        x = nn.Conv(input_ch, (3, 3), padding=1, use_bias=False,
+                    name="input_conv")(x)
+        x = FrozenBatchNorm(input_ch, name="input_bn")(x)
+        x = PReLU(input_ch, name="input_prelu")(x)
 
+        tap1, tap2, tap3 = _tap_indices(self.stages)
         feats = []
         c1 = c2 = c3 = None
         idx = 0
-        in_depth = 64
-        for stage, (depth, num_units) in enumerate(IR50_STAGES):
+        for depth, num_units in self.stages:
             for unit in range(num_units):
                 stride = 2 if unit == 0 else 1
                 x = BottleneckIRSE(depth, stride, name=f"body_{idx}")(x)
-                if idx == 6:
+                if idx == tap1:
                     c1 = x
-                elif idx == 20:
+                elif idx == tap2:
                     c2 = x
-                elif idx == 23:
+                elif idx == tap3:
                     c3 = x
                 if return_feats:
                     feats.append(x)
                 idx += 1
-            in_depth = depth
 
-        # style heads
+        # style heads: spatial sizes are the c3/c2/c1 map sizes (16/32/64
+        # at the reference's 256px encode, `psp_encoders.py:150-160`)
         styles = []
         for i in range(self.style_count):
-            spatial = 16 if i < self.COARSE_IND else (32 if i < self.MIDDLE_IND else 64)
+            spatial = (self.encode_size // 16 if i < self.COARSE_IND
+                       else (self.encode_size // 8 if i < self.MIDDLE_IND
+                             else self.encode_size // 4))
             styles.append(GradualStyleBlock(512, spatial, name=f"style_{i}"))
 
-        lat1 = nn.Conv(512, (1, 1), name="latlayer1")
-        lat2 = nn.Conv(512, (1, 1), name="latlayer2")
+        # lateral 1x1 convs project c2/c1 to c3's depth for the FPN adds —
+        # 512 in the reference (`psp_encoders.py:137-138`)
+        lat_ch = self.stages[-1][0]
+        lat1 = nn.Conv(lat_ch, (1, 1), name="latlayer1")
+        lat2 = nn.Conv(lat_ch, (1, 1), name="latlayer2")
 
         w0 = styles[0](c3)
         deltas = [jnp.zeros_like(w0)]

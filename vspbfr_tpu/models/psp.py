@@ -58,18 +58,26 @@ class PSPFacade:
     @classmethod
     def create(cls, out_size: int = 512, size: int = 1024,
                input_channels: int = 3,
-               packed_min_res: int = 512) -> "PSPFacade":
+               packed_min_res: int = 512,
+               encode_size: int = 256,
+               encoder_stages=None,
+               channel_div: int = 1) -> "PSPFacade":
+        enc_kw = {} if encoder_stages is None else {"stages": tuple(
+            tuple(s) for s in encoder_stages)}
         return cls(
             encoder=Encoder4Editing(stylegan_size=size,
-                                    input_channels=input_channels),
-            decoder=Generator(size=size, packed_min_res=packed_min_res),
+                                    input_channels=input_channels,
+                                    encode_size=encode_size, **enc_kw),
+            decoder=Generator(size=size, packed_min_res=packed_min_res,
+                              channel_div=channel_div),
             out_size=out_size,
             size=size,
         )
 
     def init_params(self, key: jax.Array) -> dict:
         k1, k2, k3 = jax.random.split(key, 3)
-        enc = self.encoder.init(k1, jnp.zeros((1, 256, 256, 3)))["params"]
+        es = self.encoder.encode_size
+        enc = self.encoder.init(k1, jnp.zeros((1, es, es, 3)))["params"]
         dec = self.decoder.init(
             {"params": k2, "noise": k3},
             jnp.zeros((1, self.n_latent, 512)),
@@ -87,7 +95,8 @@ class PSPFacade:
         (`Loss/e4e_embedding.py:91-100`, `e4e/models/psp.py:145-165`).
         Always a stop_gradient boundary (torch.no_grad in the reference).
         """
-        img = resize_bilinear(img, (256, 256))
+        es = self.encoder.encode_size
+        img = resize_bilinear(img, (es, es))
         codes = self.encoder.apply({"params": params["encoder"]}, img)
         codes = codes + params["latent_avg"][None]
         return jax.lax.stop_gradient(codes[:, : self.n_latent])

@@ -44,6 +44,7 @@ class RestorationNet(nn.Module):
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    channel_div: int = 1  # dry-run narrowing knob, see stylegan2.channel_dict
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
     # Space-to-depth packed layout for resolutions >= this (see
     # stylegan2.Generator.packed_min_res). The frozen decoder feeding
@@ -64,7 +65,7 @@ class RestorationNet(nn.Module):
         return (self.log_size - 2) * 2 + 1
 
     def setup(self):
-        ch = channel_dict(self.channel_multiplier)
+        ch = channel_dict(self.channel_multiplier, self.channel_div)
         self._ch = ch
         self.style = StyleMLP(self.style_dim, self.n_mlp)
 
@@ -203,13 +204,14 @@ class Discriminator(nn.Module):
     size: int = 512
     input_channels: int = 3
     channel_multiplier: int = 2
+    channel_div: int = 1  # dry-run narrowing knob, see stylegan2.channel_dict
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
     stddev_group: int = 4
     stddev_feat: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        ch = channel_dict(self.channel_multiplier)
+        ch = channel_dict(self.channel_multiplier, self.channel_div)
         log_size = int(math.log2(self.size))
         out = ConvLayer(ch[self.size], 1, name="stem")(x)
         for i in range(log_size, 2, -1):

@@ -26,9 +26,17 @@ from vspbfr_tpu.models.layers import (
 )
 
 
-def channel_dict(channel_multiplier: int = 2) -> dict[int, int]:
-    """Resolution -> channel map (`e4e/models/stylegan2/model.py:395-405`)."""
-    return {
+def channel_dict(channel_multiplier: int = 2,
+                 channel_div: int = 1) -> dict[int, int]:
+    """Resolution -> channel map (`e4e/models/stylegan2/model.py:395-405`).
+
+    channel_div uniformly narrows the towers (floor 8, preserving the
+    4-way-divisibility SMART's branch split needs). It exists for
+    compile-budgeted dry-runs: at tiny spatial sizes every live resolution
+    sits in the map's flat 512-channel region, so "tiny" graphs otherwise
+    still cost ~TFLOPs. 1 (default) is the reference map exactly.
+    """
+    base = {
         4: 512, 8: 512, 16: 512, 32: 512,
         64: 256 * channel_multiplier,
         128: 128 * channel_multiplier,
@@ -36,6 +44,9 @@ def channel_dict(channel_multiplier: int = 2) -> dict[int, int]:
         512: 32 * channel_multiplier,
         1024: 16 * channel_multiplier,
     }
+    if channel_div == 1:
+        return base
+    return {k: max(8, v // channel_div) for k, v in base.items()}
 
 
 class Generator(nn.Module):
@@ -43,6 +54,7 @@ class Generator(nn.Module):
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    channel_div: int = 1  # dry-run narrowing knob, see channel_dict
     blur_kernel: Sequence[int] = BLUR_KERNEL_DEFAULT
     # Resolutions >= this run in the space-to-depth packed layout
     # (ops/packed.py): same parameters, ~2x faster on TPU at the C<=64
@@ -64,7 +76,7 @@ class Generator(nn.Module):
         return (self.log_size - 2) * 2 + 1
 
     def setup(self):
-        ch = channel_dict(self.channel_multiplier)
+        ch = channel_dict(self.channel_multiplier, self.channel_div)
         self.style = StyleMLP(self.style_dim, self.n_mlp)
         self.input = self.param(
             "const_input", nn.initializers.normal(1.0), (1, 4, 4, ch[4])

@@ -45,14 +45,25 @@ class RestorationPipeline:
     # RestoreNet (must match — decoder feature taps at packed resolutions
     # flow into RestoreNet's skip fusion packed). 0 disables.
     packed_min_res: int = 512
+    # e4e encoder input resolution + IR-SE body config; defaults are the
+    # reference's 256px IR-SE-50. Shrink ONLY for compile-budgeted dry-runs.
+    encode_size: int = 256
+    encoder_stages: Any = None
+    # conv-tower width divisor (stylegan2.channel_dict); 1 = reference map.
+    # Shrink ONLY for compile-budgeted dry-runs.
+    channel_div: int = 1
 
     def __post_init__(self):
         self.psp = PSPFacade.create(out_size=self.size, size=self.decoder_size,
-                                    packed_min_res=self.packed_min_res)
+                                    packed_min_res=self.packed_min_res,
+                                    encode_size=self.encode_size,
+                                    encoder_stages=self.encoder_stages,
+                                    channel_div=self.channel_div)
         self.diffuser = CodeDiffuser(timesteps=self.timesteps)
         self.generator = RestorationNet(
             size=self.size, style_dim=self.style_dim, n_mlp=self.n_mlp,
             channel_multiplier=self.channel_multiplier,
+            channel_div=self.channel_div,
             packed_min_res=self.packed_min_res)
         self.schedule = DDPMSchedule.linear(
             timesteps=self.timesteps, linear_start=0.1, linear_end=0.99)
@@ -75,7 +86,7 @@ class RestorationPipeline:
 
     def _dummy_feats(self, b: int):
         from vspbfr_tpu.models.stylegan2 import channel_dict
-        ch = channel_dict(self.channel_multiplier)
+        ch = channel_dict(self.channel_multiplier, self.channel_div)
         import math
         n = int(math.log2(self.decoder_size)) - 1
         pmr = self.packed_min_res or (2 * self.decoder_size)
@@ -131,7 +142,7 @@ class RestorationPipeline:
 
     def restore(self, params, low_imgs: jnp.ndarray, rng: jax.Array,
                 gen_params=None, deterministic: bool = True,
-                return_sample: bool = False):
+                return_sample: bool = False, upto: str = "full"):
         """Full inference path. gen_params overrides params["generator"]
         (e.g. the EMA copy, `restoration_test.py:239-250`).
 
@@ -141,6 +152,11 @@ class RestorationPipeline:
 
         With compute_dtype set (bf16), params and activations are cast for
         the whole pipeline and the output is returned in float32.
+
+        upto: cut the pipeline after "encode" | "ddpm" | "decode" | "full".
+        Prefixes share this exact code path, so compiled-prefix timing
+        diffs attribute latency to each stage without a separate (and
+        drift-prone) re-statement of the graph (bench.py stage_ms).
         """
         if gen_params is None:
             gen_params = params["generator"]
@@ -157,12 +173,22 @@ class RestorationPipeline:
             gen_params = self._cast(gen_params)
         k_diff, k_mix, k_noise, k_dec = jax.random.split(rng, 4)
         low_latent = self.psp.get_w_plus(params["psp"], low_imgs)
+        if upto == "encode":
+            return low_latent
         clean_latent = self.diffuse_latent(params, low_latent, k_diff)
         clean_latent = jax.lax.stop_gradient(clean_latent)
+        if upto == "ddpm":
+            return clean_latent
         clean_c = clean_latent.astype(dt) if dt is not None else clean_latent
         style_sample, feats = self.psp.decode_with_feats(
             psp_params, clean_c, noise_rng=k_dec)
         feats = jax.lax.stop_gradient(feats)
+        if upto == "decode":
+            # return the feats (what the full graph consumes), NOT the
+            # style_sample image: with return_sample=False XLA dead-code
+            # eliminates the ToRGB skip cascade, so returning the image
+            # here would time work the full pipeline never does
+            return feats
         noise_latent = self.sample_mixing_latent(gen_params, k_mix,
                                                  low_imgs.shape[0])
         low_c = low_imgs.astype(dt) if dt is not None else low_imgs
@@ -176,4 +202,5 @@ class RestorationPipeline:
 
     def make_discriminator(self) -> Discriminator:
         return Discriminator(size=self.size,
-                             channel_multiplier=self.channel_multiplier)
+                             channel_multiplier=self.channel_multiplier,
+                             channel_div=self.channel_div)

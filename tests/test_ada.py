@@ -25,6 +25,8 @@ from vspbfr_tpu.losses.ada import (  # noqa: E402
 )
 
 
+pytestmark = [pytest.mark.parity]
+
 @pytest.fixture(scope="module")
 def ref_ada():
     install_op_stub()

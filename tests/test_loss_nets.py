@@ -28,6 +28,8 @@ from vspbfr_tpu.losses.lpips import LPIPS  # noqa: E402
 from vspbfr_tpu.utils import save_checkpoint  # noqa: E402
 
 
+pytestmark = [pytest.mark.parity, pytest.mark.slow]
+
 def _install_aux_stubs():
     """The reference's my_lpips imports skimage/torchvision, absent here.
 

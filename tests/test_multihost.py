@@ -14,8 +14,11 @@ import os
 import socket
 import subprocess
 import sys
+import pytest
 
 import numpy as np
+
+pytestmark = [pytest.mark.multihost, pytest.mark.slow]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")

@@ -4,10 +4,13 @@ the unpacked models bit-closely (same params, explicit noise)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vspbfr_tpu.models.restorenet import RestorationNet
 from vspbfr_tpu.models.stylegan2 import Generator, channel_dict
 
+
+pytestmark = [pytest.mark.slow]
 
 def _noise_list(key, b, log_size):
     """Unpacked per-layer noise maps matching the decoder ladder."""
@@ -76,9 +79,6 @@ def test_generator_packed_parity():
         if fp.shape != fr.shape:
             fp = depth_to_space(fp)
         np.testing.assert_allclose(fp, fr, rtol=1e-4, atol=1e-4)
-
-
-import pytest
 
 
 @pytest.mark.parametrize("pmr_div", [1, 4])

@@ -34,6 +34,8 @@ from vspbfr_tpu.models.restorenet import Discriminator, RestorationNet  # noqa: 
 from vspbfr_tpu.models.stylegan2 import Generator, channel_dict  # noqa: E402
 
 
+pytestmark = [pytest.mark.parity, pytest.mark.slow]
+
 @pytest.fixture(scope="module")
 def ref():
     return load_reference_modules()

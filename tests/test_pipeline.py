@@ -8,6 +8,8 @@ import pytest
 from vspbfr_tpu.pipeline import RestorationPipeline
 
 
+pytestmark = [pytest.mark.slow]
+
 @pytest.fixture(scope="module")
 def pipe_and_params():
     pipe = RestorationPipeline(size=32, decoder_size=64)

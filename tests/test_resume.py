@@ -27,6 +27,8 @@ from vspbfr_tpu.train.diffuser_train import DiffuserTrainConfig, DiffuserTrainer
 from vspbfr_tpu.train.restore_train import RestoreTrainConfig, RestoreTrainer
 from vspbfr_tpu.utils import save_checkpoint
 
+pytestmark = [pytest.mark.slow]
+
 SIZE = 32
 DEC = 64
 

@@ -24,6 +24,8 @@ from vspbfr_tpu.parallel import (
 )
 from vspbfr_tpu.pipeline import RestorationPipeline
 
+pytestmark = [pytest.mark.slow]
+
 SIZE = 32
 DEC = 64
 

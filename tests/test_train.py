@@ -13,6 +13,8 @@ from vspbfr_tpu.train.restore_train import RestoreTrainConfig, RestoreTrainer
 from vspbfr_tpu.train.state import EMA_DECAY_DEFAULT, ema_update
 
 
+pytestmark = [pytest.mark.slow]
+
 SIZE = 32
 DEC = 64
 

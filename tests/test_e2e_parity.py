@@ -39,6 +39,8 @@ from vspbfr_tpu.convert import (  # noqa: E402
 from vspbfr_tpu.convert.torch_import import convert_psp_checkpoint  # noqa: E402
 from vspbfr_tpu.pipeline import RestorationPipeline  # noqa: E402
 
+pytestmark = [pytest.mark.parity, pytest.mark.slow]
+
 OUT_SIZE = 32   # RestoreNet resolution (reference: 512)
 DEC_SIZE = 64   # frozen StyleGAN2 resolution (reference: 1024)
 
@@ -53,10 +55,8 @@ def _zero_noise_gains(module):
                 p.zero_()
 
 
-@pytest.fixture(scope="module")
-def e2e(tmp_path_factory):
+def _build_e2e(tmp, zero_noise: bool):
     ref = load_reference_modules()
-    tmp = tmp_path_factory.mktemp("ckpt")
 
     # ---- synthesize style_encoder_decoder.pt in the released layout
     opts = types.SimpleNamespace(stylegan_size=DEC_SIZE, input_channel=3,
@@ -70,7 +70,8 @@ def e2e(tmp_path_factory):
     randomize_(te, seed=1, scale=0.05)
     tg = ref.stylegan2.Generator(DEC_SIZE, 512, 8, channel_multiplier=2).eval()
     randomize_(tg, seed=2)
-    _zero_noise_gains(tg)
+    if zero_noise:
+        _zero_noise_gains(tg)
     n_latent = 2 * int(math.log2(DEC_SIZE)) - 2
     g0 = torch.Generator().manual_seed(3)
     latent_avg = torch.randn(n_latent, 512, generator=g0) * 0.1
@@ -99,7 +100,8 @@ def e2e(tmp_path_factory):
     tnet = ref.restorenet.Restoration_net(OUT_SIZE, 512, 8,
                                           channel_multiplier=2).eval()
     randomize_(tnet, seed=5)
-    _zero_noise_gains(tnet)
+    if zero_noise:
+        _zero_noise_gains(tnet)
 
     # ---- our side: same weights via the converters
     pipe = RestorationPipeline(size=OUT_SIZE, decoder_size=DEC_SIZE)
@@ -112,6 +114,19 @@ def e2e(tmp_path_factory):
     }
     return types.SimpleNamespace(emb=emb, tddpm=tddpm, tnet=tnet, pipe=pipe,
                                  params=params)
+
+
+@pytest.fixture(scope="module")
+def e2e(tmp_path_factory):
+    return _build_e2e(str(tmp_path_factory.mktemp("ckpt")), zero_noise=True)
+
+
+@pytest.fixture(scope="module")
+def e2e_noise(tmp_path_factory):
+    """Same stack with NoiseInjection gains LIVE (the released-checkpoint
+    configuration) — exercised with explicit noise lists."""
+    return _build_e2e(str(tmp_path_factory.mktemp("ckpt_n")),
+                      zero_noise=False)
 
 
 def _torch_ddpm_chain(tddpm, x0, cond):
@@ -210,6 +225,100 @@ def test_full_pipeline_parity(e2e, rng):
     own_scale = max(1.0, float(np.abs(own_img).max()))
     err_own = np.abs(np.asarray(restored_own_j) - own_img)
     assert err_own.mean() < 0.1 * own_scale, (err_own.mean(), own_scale)
+
+
+def _noise_list(rng, num_layers):
+    """StyleGAN2 per-layer noise maps: layer i has resolution
+    2^((i+5)//2) (4, 8, 8, 16, 16, ... — `e4e/models/stylegan2/model.py:
+    435-441`). Returns (torch NCHW, jax NHWC) views of the same draws."""
+    maps = [rng.standard_normal(
+        (2, 1, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2))).astype(np.float32)
+        for i in range(num_layers)]
+    return ([torch.from_numpy(m) for m in maps],
+            [jnp.asarray(m.transpose(0, 2, 3, 1)) for m in maps])
+
+
+def _broadcast_noise_list(rng, num_layers):
+    """Layer-distinct spatially-constant (B,1,1,1) noise maps — the ONLY
+    explicit noise a torch user can pass through Restoration_net end-to-end.
+
+    The reference's full-resolution noise list is shape-INCONSISTENT for
+    RestoreNet: the encoder consumes the list reversed
+    (`models/RestoreNet.py:1018-1019`) and `StyledConv_down` injects noise
+    AFTER its downsampling conv (`:630-640`), so e.g. noise[1] would have
+    to be 4x4 for the encoder and 8x8 for the decoder ladder at once —
+    torch raises the same broadcast RuntimeError we would. The reference
+    only ever runs randomize_noise=True (fresh per-site shapes, `:986-987`)
+    or noise=None. Broadcastable maps keep NoiseInjection gains live and
+    layer/batch-distinct values pin the [::-1] routing, so the product
+    branch is still fully exercised."""
+    maps = [rng.standard_normal((2, 1, 1, 1)).astype(np.float32)
+            for _ in range(num_layers)]
+    return ([torch.from_numpy(m) for m in maps],
+            [jnp.asarray(m.transpose(0, 2, 3, 1)) for m in maps])
+
+
+def test_noise_active_parity(e2e_noise, rng):
+    """Explicit-noise parity with NoiseInjection gains LIVE: the same noise
+    list through the reference decoder (`e4e/models/stylegan2/model.py:
+    483-496`) and RestoreNet (`models/RestoreNet.py:968-1018`, incl. the
+    noise[::-1] encoder reversal) and through our modules — closing the
+    one product-path branch the zero-gain tests skip."""
+    e2e = e2e_noise
+    b = 2
+    low = (rng.standard_normal((b, 3, OUT_SIZE, OUT_SIZE)) * 0.4).astype(
+        np.float32).clip(-1, 1)
+    low_t = torch.from_numpy(low)
+    low_j = jnp.asarray(low.transpose(0, 2, 3, 1))
+    psp_p = e2e.params["psp"]
+    clean_j = jnp.asarray(
+        rng.standard_normal((b, e2e.pipe.psp.n_latent, 512)) * 0.3)
+    clean_m = torch.from_numpy(np.asarray(clean_j, np.float32))
+    z = rng.standard_normal((b, 512)).astype(np.float32)
+
+    # ---- frozen decoder with explicit noise (9 layers at 64px)
+    dec_noise_t, dec_noise_j = _noise_list(rng,
+                                           e2e.pipe.psp.decoder.num_layers)
+    with torch.no_grad():
+        img_t, feats_t = e2e.emb.E4Enet.decoder(
+            [clean_m], input_is_latent=True, noise=dec_noise_t,
+            return_features=True)
+        feats_t = feats_t[: e2e.pipe.psp.out_n_latent]
+        img_t = e2e.emb.E4Enet.face_pool(img_t)
+    img_j, feats_j = e2e.pipe.psp.decode_with_feats(psp_p, clean_j,
+                                                    noise=dec_noise_j)
+    np.testing.assert_allclose(np.asarray(img_j),
+                               img_t.numpy().transpose(0, 2, 3, 1),
+                               rtol=2e-2, atol=2e-2)
+    assert len(feats_j) == len(feats_t)
+    for a, t in zip(feats_j, feats_t):
+        np.testing.assert_allclose(np.asarray(a),
+                                   t.numpy().transpose(0, 2, 3, 1),
+                                   rtol=2e-2, atol=2e-2)
+
+    # ---- RestoreNet with explicit noise (7 layers at 32px), MATCHED feats.
+    # Spatially-constant maps: full-res lists cannot pass through the
+    # reference's own forward (see _broadcast_noise_list)
+    gen_noise_t, gen_noise_j = _broadcast_noise_list(
+        rng, e2e.pipe.generator.num_layers)
+    with torch.no_grad():
+        restored_t = e2e.tnet(low_t, feats_t, clean_m,
+                              [torch.from_numpy(z)], noise=gen_noise_t)
+    noise_latent = e2e.pipe.generator.apply(
+        {"params": e2e.params["generator"]}, jnp.asarray(z[None]), None,
+        method=type(e2e.pipe.generator).map_styles)
+    feats_m = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats_t]
+    restored_j = e2e.pipe.generator.apply(
+        {"params": e2e.params["generator"]}, low_j, feats_m, clean_j,
+        noise_latent, noise=gen_noise_j, input_is_latent=True,
+        deterministic=True)
+
+    ref_img = restored_t.numpy().transpose(0, 2, 3, 1)
+    err = np.abs(np.asarray(restored_j) - ref_img)
+    scale = max(1.0, float(np.abs(ref_img).max()))
+    assert err.mean() < 5e-3 * scale, (err.mean(), scale)
+    assert np.quantile(err, 0.999) < 5e-2 * scale, (
+        np.quantile(err, 0.999), scale)
 
 
 def test_full_pipeline_restore_smoke(e2e, rng):

@@ -1,29 +1,40 @@
-"""Headline benchmark: 512px blind-face-restoration throughput on one chip.
+"""Headline benchmark: 512px blind-face-restoration on one chip.
 
-Measures BASELINE config (1)/(2): batch-4 512x512 full-pipeline restore
-(e4e encode -> 4-step DDPM -> 1024px StyleGAN2 decode -> RestoreNet), the
-reference's product path (`restoration_test.py:87-157`).
+Sections (ordered; later ones are skipped if the wall budget runs out;
+the OOM-riskiest — training — runs LAST among device sections so a
+ResourceExhausted cannot poison the inference measurements):
+  1. inference throughput, batch 4 (BASELINE configs (1)/(2): the
+     reference's product path `restoration_test.py:87-157`, batch 4
+     `restoration_test.py:212-213`), bf16 with f32 islands
+  2. inference batch scaling (b8/b16): the headline `value` is the
+     best-throughput batch; b4 stays as the latency row
+  3. stage latency split via compiled PREFIX pipelines (encode /
+     +ddpm / +decode / full share the exact product graph — see
+     pipeline.restore(upto=...)), so the split sums to the end-to-end
+     time instead of inflating per-call tunnel overheads
+  4. full-f32 throughput + bf16-vs-f32 output PSNR (quality audit)
+  5. training-step throughput: stage-3 GAN step at batch 4 / 512px
+     (`restoration_train.py:312-325`) and stage-2 diffuser step at
+     256px (`code_diffuser_train.py:249-273`) — BASELINE configs
+     (3)/(4), full f32 (training dtype). Stage-2 runs the largest
+     per-chip batch that fits 16GB HBM (the reference's per-GPU 16
+     needed ~37GB and barely fit an A100-40GB; the global batch is
+     recovered across the data mesh).
+  6. host input-pipeline feed rate (SURVEY.md §7 starvation risk: two
+     512px degradation chains per sample, `dataset.py:302-303`) vs the
+     measured device demand from section 5
 
-Headline = the production inference dtype: bf16 with f32 islands (the e4e
-encode + DDPM latent chain stay f32; the two MXU-bound stages — frozen
-decode and RestoreNet — run bf16; see pipeline.RestorationPipeline.restore).
-The full-f32 throughput and the bf16-vs-f32 output PSNR are reported
-alongside so both the speed and the quality cost are auditable.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "flops",
-"mfu", "stage_ms", "f32_imgs_per_sec", "bf16_vs_f32_psnr_db"} — flops from
-the compiled executable's cost_analysis, mfu against the chip's peak,
-stage_ms the encode/ddpm/decode/restore latency split (bf16 pipeline).
-
-vs_baseline anchors to an estimated reference throughput of 12 imgs/s for
-torch 1.12 fp32 on A100 (the reference publishes no numbers — see
-BASELINE.md "Estimate derivation").
+Prints ONE JSON line. vs_baseline anchors to an ESTIMATED reference
+throughput of 12 imgs/s (torch 1.12 fp32, A100) — the reference publishes
+no numbers; see BASELINE.md "Estimate derivation". flops/mfu come from the
+compiled executables' cost_analysis so the claim is re-anchorable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -31,12 +42,25 @@ import jax.numpy as jnp
 
 BASELINE_IMGS_PER_SEC = 12.0
 BATCH = 4
-WARMUP = 3
 ITERS = 10
 # VSPBFR_BENCH_SMOKE=1: tiny config for a fast code-path check (e.g. on CPU
 # when the chip is unreachable); numbers are NOT the headline
 SMOKE = os.environ.get("VSPBFR_BENCH_SMOKE") == "1"
 SIZE, DEC_SIZE = (64, 128) if SMOKE else (512, 1024)
+# wall budget for the optional sections (headline always completes);
+# compiles hit the persistent cache after the first run
+BUDGET_S = float(os.environ.get("VSPBFR_BENCH_BUDGET_S", 5400))
+
+_T0 = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _log(msg: str) -> None:
+    print(f"[bench {_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 # peak dense matmul FLOP/s per chip (bf16; f32 runs at half via passes)
 _PEAK_FLOPS = {
@@ -53,11 +77,20 @@ def _peak_flops() -> float:
     return 197e12  # default: v5e
 
 
+def _cost_flops(compiled) -> float | None:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
 def main() -> None:
     import numpy as np
 
     from vspbfr_tpu.pipeline import RestorationPipeline
-
     from vspbfr_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
 
@@ -66,32 +99,24 @@ def main() -> None:
                                compute_dtype=jnp.bfloat16)
     params = jax.jit(pipe32.init_params)(jax.random.key(0))
     jax.block_until_ready(params)
-
-    low = jax.random.uniform(jax.random.key(1), (BATCH, SIZE, SIZE, 3),
-                             minval=-1.0, maxval=1.0)
-
-    # AOT-compile once and reuse the executables (jit + a later
-    # .lower().compile() for cost_analysis would compile the 512px graph
-    # twice — ~10 min each over the compile tunnel)
-    compiled = jax.jit(
-        lambda p, x, k: pipe.restore(p, x, k)).lower(
-        params, low, jax.random.key(0)).compile()
-    compiled32 = jax.jit(
-        lambda p, x, k: pipe32.restore(p, x, k)).lower(
-        params, low, jax.random.key(0)).compile()
-
-    def restore(params, low, rng):
-        return compiled(params, low, rng)
-
-    def restore32(params, low, rng):
-        return compiled32(params, low, rng)
+    _log("params initialized")
 
     def flush(x):
         """Force completion: on the tunneled TPU platform block_until_ready
         does not actually block, so read back a scalar reduction."""
         return float(np.asarray(jnp.sum(jax.tree.leaves(x)[0])))
 
-    def run(fn, n_iters, img):
+    def make_low(batch):
+        return jax.random.uniform(jax.random.key(1), (batch, SIZE, SIZE, 3),
+                                  minval=-1.0, maxval=1.0)
+
+    def compile_restore(p, batch):
+        low = make_low(batch)
+        return jax.jit(
+            lambda pr, x, k: p.restore(pr, x, k)).lower(
+            params, low, jax.random.key(0)).compile(), low
+
+    def run_chain(fn, n_iters, img):
         t0 = time.perf_counter()
         for i in range(n_iters):
             # chain: feed the output back in so iterations cannot overlap
@@ -99,98 +124,391 @@ def main() -> None:
         flush(img)
         return time.perf_counter() - t0
 
-    for i in range(WARMUP):
-        flush(restore(params, low, jax.random.key(i)))
-        flush(restore32(params, low, jax.random.key(i)))
+    def throughput(fn, low, batch, iters=ITERS):
+        for i in range(2):
+            flush(fn(params, low, jax.random.key(i)))
+        dt = (run_chain(fn, 2 + iters, low) - run_chain(fn, 2, low)) / iters
+        return batch / dt, dt
 
-    dt = (run(restore, 2 + ITERS, low) - run(restore, 2, low)) / ITERS
-    dt32 = (run(restore32, 2 + ITERS, low) - run(restore32, 2, low)) / ITERS
+    # ---- 1. headline inference, batch 4 (bf16 + f32 islands) --------------
+    compiled_b4, low4 = compile_restore(pipe, BATCH)
+    _log("b4 bf16 pipeline compiled")
+    b4_imgs, b4_dt = throughput(lambda p, x, k: compiled_b4(p, x, k), low4,
+                                BATCH)
+    flops_b4 = _cost_flops(compiled_b4)
+    _log(f"b4 inference: {b4_imgs:.2f} imgs/s ({b4_dt*1e3:.1f} ms)")
 
-    imgs_per_sec = BATCH / dt
-    f32_imgs_per_sec = BATCH / dt32
+    result = {
+        "metric": "restore_512px_imgs_per_sec_per_chip",
+        "value": round(b4_imgs, 3),
+        "unit": "imgs/s",
+        "batch": BATCH,
+        "vs_baseline": round(b4_imgs / BASELINE_IMGS_PER_SEC, 3),
+        "flops": flops_b4,
+        "mfu": (round(flops_b4 / b4_dt / _peak_flops(), 4)
+                if flops_b4 else None),
+        "latency_ms_b4": round(b4_dt * 1e3, 2),
+        "dtype": "bf16+f32-islands",
+        "baseline_note": "vs_baseline divides by an ESTIMATED 12 imgs/s "
+                         "A100 torch-fp32 figure (BASELINE.md)",
+    }
 
-    # bf16 quality vs the f32 pipeline on the same inputs + random stream.
-    # data_range adapts to the actual output magnitude: with random init
-    # the un-normalized ToRGB skip cascade emits O(100) values, so a fixed
-    # [-1,1] range would report garbage (with converted trained weights
-    # outputs are in [-1,1] and this reduces to the usual PSNR).
-    out16 = np.asarray(restore(params, low, jax.random.key(7)))
-    out32 = np.asarray(restore32(params, low, jax.random.key(7)))
-    mse = float(np.mean((out16 - out32) ** 2))
-    rng_ = max(2.0 * float(np.abs(out32).max()), 2.0)
-    psnr_db = round(10 * np.log10(rng_ ** 2 / max(mse, 1e-12)), 2)
+    # ---- 2. inference batch scaling ----------------------------------------
+    scaling = {str(BATCH): round(b4_imgs, 3)}
+    best_b, best_imgs = BATCH, b4_imgs
+    for b in (8, 16):
+        if _elapsed() > BUDGET_S:
+            _log(f"budget exhausted before b{b} scaling")
+            break
+        try:
+            comp, low = compile_restore(pipe, b)
+            _log(f"b{b} bf16 pipeline compiled")
+            imgs, dt = throughput(lambda p, x, k: comp(p, x, k), low, b,
+                                  iters=max(4, ITERS // 2))
+            scaling[str(b)] = round(imgs, 3)
+            _log(f"b{b} inference: {imgs:.2f} imgs/s")
+            if imgs > best_imgs:
+                best_b, best_imgs = b, imgs
+                fl = _cost_flops(comp)
+                result.update(
+                    value=round(imgs, 3), batch=b,
+                    vs_baseline=round(imgs / BASELINE_IMGS_PER_SEC, 3),
+                    flops=fl,
+                    mfu=round(fl / dt / _peak_flops(), 4) if fl else None)
+        except Exception as e:  # noqa: BLE001
+            scaling[str(b)] = None
+            _log(f"b{b} scaling failed: {type(e).__name__}: {e}")
+            del e
+            import gc
+            gc.collect()
+            jax.clear_caches()  # drop dead executables before the next try
+    result["batch_scaling"] = scaling
 
-    # auditable FLOPs + MFU from the compiled executable
-    flops = mfu = None
+    # ---- 3. stage split via compiled prefixes ------------------------------
     try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
-        if flops:
-            mfu = round(flops / dt / _peak_flops(), 4)
-    except Exception:
-        pass
+        if _elapsed() < BUDGET_S:
+            result["stage_ms"] = stage_split(pipe, params, low4, flush,
+                                             b4_dt, flops_b4)
+    except Exception as e:  # noqa: BLE001
+        _log(f"stage split failed: {type(e).__name__}: {e}")
 
-    # per-stage latency split (same queue-then-flush scheme)
-    def timeit(fn, n=5):
+    # ---- 4. f32 + quality audit --------------------------------------------
+    try:
+        if _elapsed() < BUDGET_S:
+            compiled32, _ = compile_restore(pipe32, BATCH)
+            _log("b4 f32 pipeline compiled")
+            f32_imgs, _ = throughput(lambda p, x, k: compiled32(p, x, k),
+                                     low4, BATCH)
+            result["f32_imgs_per_sec"] = round(f32_imgs, 3)
+            # bf16 quality vs the f32 pipeline on the same inputs + random
+            # stream. data_range adapts to the actual output magnitude:
+            # with random init the un-normalized ToRGB skip cascade emits
+            # O(100) values, so a fixed [-1,1] range would report garbage
+            # (with converted trained weights outputs are in [-1,1] and
+            # this reduces to the usual PSNR).
+            out16 = np.asarray(compiled_b4(params, low4, jax.random.key(7)))
+            out32 = np.asarray(compiled32(params, low4, jax.random.key(7)))
+            mse = float(np.mean((out16 - out32) ** 2))
+            rng_ = max(2.0 * float(np.abs(out32).max()), 2.0)
+            result["bf16_vs_f32_psnr_db"] = round(
+                10 * np.log10(rng_ ** 2 / max(mse, 1e-12)), 2)
+    except Exception as e:  # noqa: BLE001
+        _log(f"f32 audit failed: {type(e).__name__}: {e}")
+
+    # ---- 5. training-step throughput (BASELINE configs (3)/(4)) -----------
+    try:
+        if _elapsed() < BUDGET_S:
+            result["train"] = {}
+            bench_train(flush, result["train"])
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        _log(f"train bench failed: {type(e).__name__}: {e}")
+        result.setdefault("train", {})["error"] = str(e)[:200]
+        del e
+        import gc
+        gc.collect()
+        jax.clear_caches()
+
+    # ---- 6. host input-pipeline feed rate ----------------------------------
+    try:
+        if _elapsed() < BUDGET_S:
+            step_ms = (result.get("train", {}).get("stage3", {})
+                       .get("step_ms_steady"))
+            result["loader"] = bench_loader(step_ms)
+    except Exception as e:  # noqa: BLE001
+        _log(f"loader bench failed: {type(e).__name__}: {e}")
+
+    result["bench_wall_s"] = round(_elapsed(), 1)
+    print(json.dumps(result))
+
+
+def bench_train(flush, out):
+    """Stage-3 GAN step (b4, 512px, f32) + stage-2 diffuser step (256px,
+    largest fitting per-chip batch): ms/step and imgs/s, with R1 cadence
+    made explicit — the lazy-R1 step runs every d_reg_every=16 iters
+    (`restoration_train.py:200-216`), so steady-state cost =
+    (15*plain + 1*r1)/16. Mutates `out` so a stage-2 failure keeps the
+    stage-3 numbers."""
+    import gc
+
+    import numpy as np
+
+    from vspbfr_tpu.pipeline import RestorationPipeline
+    from vspbfr_tpu.train.restore_train import (RestoreTrainConfig,
+                                                RestoreTrainer)
+    size, dec = (SIZE, DEC_SIZE)
+    batch = BATCH
+    pipe = RestorationPipeline(size=size, decoder_size=dec)
+    trainer = RestoreTrainer(RestoreTrainConfig(size=size, batch=batch),
+                             pipe)
+    g_state, d_state, g_ema, frozen = jax.jit(trainer.init_states)(
+        jax.random.key(0))
+    g_ema = jax.tree.map(lambda x: jnp.asarray(np.array(x)), g_ema)
+    low = jax.random.uniform(jax.random.key(1), (batch, size, size, 3),
+                             minval=-1.0, maxval=1.0)
+    real = jax.random.uniform(jax.random.key(2), low.shape,
+                              minval=-1.0, maxval=1.0)
+
+    # AOT-compile the two phases (same graphs jit_step builds) so
+    # cost_analysis is available and nothing compiles twice
+    jit_d = jax.jit(trainer.d_phase, donate_argnums=(0,))
+    jit_g = jax.jit(trainer.g_phase, donate_argnums=(0, 1))
+    args_d = (d_state, g_state.params, jnp.zeros((), jnp.int32), frozen,
+              low, real, jax.random.key(3))
+    cd = jit_d.lower(*args_d).compile()
+    _log("stage3 D phase compiled")
+    d2, clean, feats, d_metrics, _ = cd(*args_d)
+    args_g = (g_state, g_ema, d2.params, frozen, low, real, clean, feats,
+              jax.random.key(4))
+    cg = jit_g.lower(*args_g).compile()
+    _log("stage3 G phase compiled")
+    # the shape-probe execution above donated the original d_state buffers;
+    # continue the timing chain from the returned state
+    d_state = d2
+
+    def step(g_state, d_state, g_ema, g_step, key):
+        k_d, k_g = jax.random.split(key)
+        d_state, clean, feats, d_m, _ = cd(
+            d_state, g_state.params, g_step, frozen, low, real, k_d)
+        g_state, g_ema, g_m = cg(g_state, g_ema, d_state.params, frozen,
+                                 low, real, clean, feats, k_g)
+        return g_state, d_state, g_ema, {**d_m, **g_m}
+
+    def run(n, g_steps):
+        nonlocal g_state, d_state, g_ema
+        t0 = time.perf_counter()
+        for i in range(n):
+            g_state, d_state, g_ema, m = step(
+                g_state, d_state, g_ema,
+                jnp.asarray(g_steps[i % len(g_steps)], jnp.int32),
+                jax.random.key(10 + i))
+        flush(m)
+        return time.perf_counter() - t0
+
+    # g_step is an explicit input to the D phase, so the R1 lax.cond branch
+    # is driven directly: plain steps use g_step=1, R1 steps g_step=0
+    run(2, [1])  # warm both executables
+    n = 6
+
+    def measure(g_steps):
+        # chained-run differencing removes dispatch overhead but can go
+        # negative on a tunnel hiccup (seen live: -1430 ms); retry once,
+        # then fall back to a plain timed run (safe upper bound)
+        for _ in range(2):
+            dt = (run(2 + n, g_steps) - run(2, g_steps)) / n
+            if dt > 0:
+                return dt
+        return run(n, g_steps) / n
+
+    dt_plain = measure([1])
+    # the R1 lax.cond ADDS the double-grad penalty branch to the plain D
+    # step, so it cannot be cheaper — clamp noise from the differencing
+    dt_r1 = max(measure([0]), dt_plain)
+    dt_steady = (15 * dt_plain + dt_r1) / 16
+    fl_d, fl_g = _cost_flops(cd), _cost_flops(cg)
+    out["stage3"] = {
+        "config": f"b{batch} {size}px f32 (restoration_train.py:312-325)",
+        "step_ms": round(dt_plain * 1e3, 1),
+        "step_ms_r1": round(dt_r1 * 1e3, 1),
+        "step_ms_steady": round(dt_steady * 1e3, 1),
+        "imgs_per_sec": round(batch / dt_steady, 2),
+        "flops": (fl_d + fl_g) if fl_d and fl_g else None,
+        "mfu": (round((fl_d + fl_g) / dt_plain / (_peak_flops() / 2), 4)
+                if fl_d and fl_g else None),  # f32 peak = bf16/2
+    }
+    _log(f"stage3: {dt_plain*1e3:.1f} ms plain, {dt_r1*1e3:.1f} ms r1")
+    del g_state, d_state, g_ema, frozen, cd, cg, args_d, args_g, d2, clean, \
+        feats, d_metrics
+    gc.collect()
+
+    if _elapsed() > BUDGET_S:
+        return
+
+    # ---- stage 2: diffuser step, 256px --------------------------------------
+    # Reference per-GPU config is b16 (`code_diffuser_train.py:251-253`) but
+    # grads flow through the full 1024px decoder — ~37GB of activations,
+    # which barely fit the A100-40GB and cannot fit a 16GB v5e chip. Bench
+    # the largest fitting per-chip batch; the reference's global batch is
+    # b_chip x data-mesh chips.
+    from vspbfr_tpu.train.diffuser_train import (DiffuserTrainConfig,
+                                                 DiffuserTrainer)
+    size2 = 256 if not SMOKE else 64
+
+    def try_stage2(b2):
+        # own frame: on exception every device buffer here is dropped
+        # with the frame before the next (smaller-batch) attempt
+        pipe2 = RestorationPipeline(size=size2, decoder_size=dec)
+        trainer2 = DiffuserTrainer(
+            DiffuserTrainConfig(size=size2, batch=b2), pipe2)
+        state, frozen2 = jax.jit(trainer2.init_states)(jax.random.key(0))
+        low2 = jax.random.uniform(jax.random.key(1), (b2, size2, size2, 3),
+                                  minval=-1.0, maxval=1.0)
+        real2 = jax.random.uniform(jax.random.key(2), low2.shape,
+                                   minval=-1.0, maxval=1.0)
+        jit2 = jax.jit(trainer2.train_step, donate_argnums=(0,))
+        c2 = jit2.lower(state, frozen2, low2, real2,
+                        jax.random.key(3)).compile()
+        _log(f"stage2 step compiled (b{b2})")
+
+        def run2(n):
+            nonlocal state
+            t0 = time.perf_counter()
+            for i in range(n):
+                state, m = c2(state, frozen2, low2, real2,
+                              jax.random.key(20 + i))
+            flush(m)
+            return time.perf_counter() - t0
+
+        run2(1)
+        n = 6
+        dt2 = (run2(2 + n) - run2(2)) / n
+        fl2 = _cost_flops(c2)
+        out["stage2"] = {
+            "config": f"b{b2}/chip {size2}px f32 (reference global b16,"
+                      " code_diffuser_train.py:249-273)",
+            "step_ms": round(dt2 * 1e3, 1),
+            "imgs_per_sec": round(b2 / dt2, 2),
+            "flops": fl2,
+            "mfu": (round(fl2 / dt2 / (_peak_flops() / 2), 4)
+                    if fl2 else None),
+        }
+        _log(f"stage2: {dt2*1e3:.1f} ms/step at b{b2}")
+
+    for b2 in ((8, 4) if not SMOKE else (4,)):
+        try:
+            try_stage2(b2)
+            return
+        except Exception as e:  # noqa: BLE001 — try the smaller batch
+            _log(f"stage2 b{b2} failed: {type(e).__name__}: {str(e)[:120]}")
+            out["stage2"] = {"error": str(e)[:200]}
+            del e
+            gc.collect()
+            jax.clear_caches()
+
+
+def bench_loader(stage3_step_ms: float | None):
+    """Sustained loader imgs/s (RestoreTrainDataset n_degraded=2 at 512px,
+    native C++ engine when built) vs device demand — SURVEY.md §7 flags the
+    two-per-sample 512px degradation chains (`dataset.py:302-303`) as a
+    starvation risk. Demand anchor: the measured stage-3 steady step time
+    (section 2), batch 4/chip. scripts/bench_loader.py is the standalone
+    version with per-phase breakdown."""
+    import numpy as np
+    from PIL import Image
+    import tempfile
+
+    from vspbfr_tpu.data.datasets import DataLoader, RestoreTrainDataset
+
+    size, batch = (SIZE, BATCH) if not SMOKE else (64, 2)
+    d = tempfile.mkdtemp(prefix="vspbfr_loaderbench_")
+    rng = np.random.default_rng(0)
+    for i in range(24):
+        # mildly correlated noise compresses like a photo (pure white noise
+        # would inflate JPEG decode cost beyond any real dataset)
+        base = rng.integers(0, 255, (size // 8, size // 8, 3), np.uint8)
+        img = Image.fromarray(base).resize((size + 38, size + 38),
+                                           Image.Resampling.BILINEAR)
+        img.save(os.path.join(d, f"{i:04d}.jpg"), quality=92)
+
+    ds = RestoreTrainDataset(root=d, im_size=(size, size), n_degraded=2)
+    workers = min(8, os.cpu_count() or 1)
+    dl = DataLoader(ds, batch_size=batch, num_workers=workers, prefetch=4)
+    it = dl.forever()
+    next(it)  # warm: thread spin-up, native lib load
+    t0 = time.perf_counter()
+    n = 0
+    nb = 12 if not SMOKE else 4
+    for _ in range(nb):
+        n += next(it)[-1].shape[0]
+    rate = n / (time.perf_counter() - t0)
+    cores = os.cpu_count() or 1
+    per_worker = rate / min(workers, cores)
+    out = {
+        "engine": "native-c++" if ds._native is not None else "numpy",
+        "n_degraded": 2, "workers": workers, "cores": cores,
+        "sustained_imgs_per_sec": round(rate, 2),
+        "imgs_per_sec_per_worker": round(per_worker, 2),
+    }
+    if stage3_step_ms:
+        # demand for an 8-chip host at the reference's batch-4/chip config
+        demand = 4 * 8 / (stage3_step_ms / 1e3)
+        out["device_demand_imgs_per_sec_8chip_host"] = round(demand, 2)
+        out["workers_needed_8chip_host"] = int(np.ceil(demand / per_worker))
+        out["feeds_8chip_host"] = bool(rate >= demand)
+    _log(f"loader: {rate:.1f} imgs/s sustained ({workers} workers, "
+         f"{out['engine']})")
+    return out
+
+
+def stage_split(pipe, params, low, flush, e2e_dt, e2e_flops=None):
+    """Latency attribution by compiled-prefix diffs: jit the pipeline cut
+    after encode / ddpm / decode (pipeline.restore(upto=...) — the same
+    traced path as the full graph), time each, and report diffs. Unlike
+    per-stage re-jits, the diffs sum to the end-to-end time by
+    construction (round-2's stage_ms summed to 134% of e2e)."""
+    import numpy as np  # noqa: F401
+
+    def timeit(fn, n=6):
         def r(k):
             out = None
             t0 = time.perf_counter()
             for i in range(k):
-                out = fn(i)
+                out = fn(jax.random.key(50 + i))
             flush(out)
             return time.perf_counter() - t0
-        r(1)
+        r(2)
         return (r(2 + n) - r(2)) / n
 
-    # stage fns mirror restore()'s dtype policy: encode/ddpm f32,
-    # decode/RestoreNet bf16 (params cast inside the jit)
-    enc = jax.jit(lambda p, x: pipe.psp.get_w_plus(p["psp"], x))
-    diff = jax.jit(lambda p, w, k: pipe.diffuse_latent(p, w, k))
-
-    def dec_body(p, w, k):
-        dp = {**p["psp"], "decoder": pipe._cast(p["psp"]["decoder"])}
-        return pipe.psp.decode_with_feats(dp, w.astype(jnp.bfloat16),
-                                          noise_rng=k)
-
-    dec_fn = jax.jit(dec_body)
-
-    def gen_fn(p, x, feats, lat, k):
-        gp = pipe._cast(p["generator"])
-        k1, k2 = jax.random.split(k)
-        nl = pipe.sample_mixing_latent(gp, k1, x.shape[0])
-        return pipe.generator.apply(
-            {"params": gp}, x.astype(jnp.bfloat16), feats,
-            lat.astype(jnp.bfloat16), nl,
-            input_is_latent=True, deterministic=True, rngs={"noise": k2})
-
-    gen = jax.jit(gen_fn)
-    w = enc(params, low)
-    lat = diff(params, w, jax.random.key(2))
-    _, feats = dec_fn(params, lat, jax.random.key(3))
-    stage_ms = {
-        "encode": round(1e3 * timeit(lambda i: enc(params, low)), 2),
-        "ddpm": round(1e3 * timeit(
-            lambda i: diff(params, w, jax.random.key(i))), 2),
-        "decode": round(1e3 * timeit(
-            lambda i: dec_fn(params, lat, jax.random.key(i))[0]), 2),
-        "restore": round(1e3 * timeit(
-            lambda i: gen(params, low, feats, lat, jax.random.key(i))), 2),
-    }
-
-    print(json.dumps({
-        "metric": "restore_512px_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 3),
-        "unit": "imgs/s",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
-        "flops": flops,
-        "mfu": mfu,
-        "stage_ms": stage_ms,
-        "dtype": "bf16+f32-islands",
-        "f32_imgs_per_sec": round(f32_imgs_per_sec, 3),
-        "bf16_vs_f32_psnr_db": psnr_db,
-    }))
+    cuts = ("encode", "ddpm", "decode")
+    times, flops = {}, {}
+    for cut in cuts:
+        comp = jax.jit(
+            lambda p, x, k, c=cut: pipe.restore(p, x, k, upto=c)).lower(
+            params, low, jax.random.key(0)).compile()
+        times[cut] = timeit(lambda k, c=comp: c(params, low, k))
+        flops[cut] = _cost_flops(comp)
+        _log(f"prefix {cut}: {times[cut]*1e3:.2f} ms")
+    prev_t, prev_f = 0.0, 0.0
+    split, stage_flops = {}, {}
+    for cut in cuts:
+        split[cut] = round((times[cut] - prev_t) * 1e3, 2)
+        prev_t = times[cut]
+        if flops[cut] is not None:
+            stage_flops[cut] = flops[cut] - prev_f
+            prev_f = flops[cut]
+    split["restore"] = round((e2e_dt - prev_t) * 1e3, 2)
+    split["sum_check"] = {"prefix_sum_ms": round(e2e_dt * 1e3, 2),
+                          "note": "restore = e2e - decode_prefix; "
+                                  "sums to e2e by construction"}
+    if stage_flops and e2e_flops:
+        stage_flops["restore"] = e2e_flops - prev_f
+    if stage_flops:
+        # per-stage MFU basis for the roofline (ROOFLINE.md): diffed
+        # cost_analysis flops over diffed wall-clock
+        peak = _peak_flops()
+        split["stage_mfu"] = {
+            c: round(stage_flops[c] / max(split[c], 1e-3) * 1e3 / peak, 4)
+            for c in stage_flops}
+    return split
 
 
 if __name__ == "__main__":

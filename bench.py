@@ -218,6 +218,20 @@ def main() -> None:
     # ---- 5. training-step throughput (BASELINE configs (3)/(4)) -----------
     try:
         if _elapsed() < BUDGET_S:
+            # drop every inference-section device buffer + executable first:
+            # params/g_ema + the b4/b16 executables otherwise stay resident
+            # while the training section allocates its own G+D+EMA+frozen
+            # states, pressuring the 16GB HBM (a standalone stage-3 step
+            # measured 686 ms vs 1034 ms inside the loaded bench process,
+            # scripts/exp_train_packed.py)
+            del compiled_b4, low4, params, pipe, pipe32
+            try:
+                del compiled32  # noqa: F821 — absent if section 4 failed
+            except NameError:
+                pass
+            import gc
+            gc.collect()
+            jax.clear_caches()
             result["train"] = {}
             bench_train(flush, result["train"])
     except Exception as e:  # noqa: BLE001 — keep the headline alive

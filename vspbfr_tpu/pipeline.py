@@ -183,6 +183,14 @@ class RestorationPipeline:
         style_sample, feats = self.psp.decode_with_feats(
             psp_params, clean_c, noise_rng=k_dec)
         feats = jax.lax.stop_gradient(feats)
+        # RestoreNet's skip fusion consumes de_feats[1..log2(size)-2] only
+        # (`models/RestoreNet.py:1029-1035`: resolutions 8..size); the
+        # decoder-resolution taps above `size` are dead and XLA DCEs their
+        # convs from the full graph. Slice here so the "decode" prefix
+        # times exactly the live subgraph (otherwise the prefix pays for
+        # the decoder's top level — e.g. the whole 1024px conv_up — that
+        # the full pipeline never executes, skewing stage attribution).
+        feats = feats[: self.generator.log_size - 1]
         if upto == "decode":
             # return the feats (what the full graph consumes), NOT the
             # style_sample image: with return_sample=False XLA dead-code

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inception_ckpt", default=None,
                    help="converted InceptionV3 params (cli.convert_ckpt "
                         "inception) — adds standard-FID scoring")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 inference with f32 islands (the bench "
+                        "headline dtype): decoder + RestoreNet run bf16, "
+                        "weights pre-cast once at load")
     return p
 
 
@@ -62,7 +66,9 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     pipe = RestorationPipeline(size=args.size,
                                decoder_size=args.decoder_size,
-                               packed_min_res=args.packed_min_res)
+                               packed_min_res=args.packed_min_res,
+                               compute_dtype=jnp.bfloat16 if args.bf16
+                               else None)
     if args.ckpt:
         params = load_checkpoint(args.ckpt)
         params = params.get("params", params)
@@ -71,6 +77,7 @@ def main(argv=None) -> None:
     else:
         print("WARNING: no --ckpt; random weights (smoke-test mode)")
         params = jax.jit(pipe.init_params)(jax.random.key(0))
+    params = pipe.prepare_params(params)  # no-op in f32 mode
 
     @jax.jit
     def restore(params, low, rng):

@@ -355,7 +355,7 @@ def _modulated_conv2d_packed(
     else:
         assert packed_in and packed_out
         if k == 1:
-            out = pk.conv1x1_packed(x * sty[:, None, None, :], ws)
+            out = pk.conv1x1_packed(x, ws, in_scale=sty)
         else:
             # dense lowering beats XLA's grouped convs at the production
             # widths: grouped d=4/8 branches ran 5-7 TF/s vs 60+ TF/s dense
@@ -452,7 +452,14 @@ def modulated_conv2d(
             out = conv2d(xs, ws, stride=2, padding=0, dilation=dilation)
     else:
         padding = ((k - 1) * dilation) // 2
-        if dilation == 1:
+        if k == 1 and c_out < 128:
+            # lane-starved 1x1 (ToRGB, c_out=3): fold the style into a
+            # per-batch weight (B,Ci,Co is tiny) instead of materializing
+            # x*style — a full-activation HBM round trip (measured 0.2 ms
+            # per 256-res ToRGB in the XProf trace)
+            wb = style[:, :, None].astype(x.dtype) * ws[0, 0].astype(x.dtype)
+            out = jnp.einsum("bhwc,bco->bhwo", x, wb)
+        elif dilation == 1:
             # fold the style multiply into the Pallas conv input stripe
             from vspbfr_tpu.ops.pallas_conv import conv2d_dense
             out = conv2d_dense(x, ws, ((padding, padding), (padding, padding)),

@@ -66,18 +66,84 @@ def _pick_ht(oh, kh, wpi, ci, ow, co, itemsize) -> int:
     return 1
 
 
-def _conv_kernel(x_hbm, w_ref, isc_ref, o_ref, xs_ref, sem, *, h_t, kh, kw,
-                 ow, co, has_isc):
-    import jax.lax as lax
+def _stripe_load(x_hbm, xs_ref, sem, bb, ih, *, h_t, stripe, pads):
+    """DMA the tile's input stripe into VMEM scratch.
+
+    pads=None: x is already padded in HBM — straight copy (legacy path).
+    pads=(py0, py1, dst_col, wd, n_tiles): x is UNPADDED; zero the halo in
+    VMEM (column strips every tile, top/bottom rows on the edge tiles)
+    and DMA only the valid window — saves the producer-side jnp.pad's
+    full-tensor HBM round trip (measured 0.4-0.9 ms per 512-res call,
+    `pad` ops at 609 GiB/s in the XProf trace). dst_col is the scratch
+    column where x's column 0 lands: Mosaic requires DMA destination
+    offsets divisible by the sublane tiling, so the caller rounds the
+    left pad UP to the tile and shifts its reads by the same amount."""
+    import jax.lax as lax  # noqa: F401
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if pads is None:
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ih * h_t, stripe)], xs_ref, sem)
+        cp.start()
+        cp.wait()
+        return
+
+    py0, py1, dst_col, wd, n_tiles = pads
+    wpi = xs_ref.shape[1]
+    if dst_col:
+        xs_ref[:, :dst_col, :] = jnp.zeros((stripe, dst_col,
+                                            xs_ref.shape[2]), xs_ref.dtype)
+    if wpi > dst_col + wd:
+        xs_ref[:, dst_col + wd:, :] = jnp.zeros(
+            (stripe, wpi - dst_col - wd, xs_ref.shape[2]), xs_ref.dtype)
+
+    def copy(src_row, dst_row, rows):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(src_row, rows)],
+            xs_ref.at[pl.ds(dst_row, rows), pl.ds(dst_col, wd)], sem)
+        cp.start()
+        cp.wait()
+
+    if n_tiles == 1:
+        if py0:
+            xs_ref[:py0, :, :] = jnp.zeros((py0, wpi, xs_ref.shape[2]),
+                                           xs_ref.dtype)
+        if py1:
+            xs_ref[stripe - py1:, :, :] = jnp.zeros(
+                (py1, wpi, xs_ref.shape[2]), xs_ref.dtype)
+        copy(0, py0, stripe - py0 - py1)
+        return
+
+    @pl.when(ih == 0)
+    def _first():
+        if py0:
+            xs_ref[:py0, :, :] = jnp.zeros((py0, wpi, xs_ref.shape[2]),
+                                           xs_ref.dtype)
+        copy(0, py0, stripe - py0)
+
+    @pl.when(ih == n_tiles - 1)
+    def _last():
+        if py1:
+            xs_ref[stripe - py1:, :, :] = jnp.zeros(
+                (py1, wpi, xs_ref.shape[2]), xs_ref.dtype)
+        copy((n_tiles - 1) * h_t - py0, 0, stripe - py1)
+
+    @pl.when(jnp.logical_and(ih > 0, ih < n_tiles - 1))
+    def _mid():
+        copy(ih * h_t - py0, 0, stripe)
+
+
+def _conv_kernel(x_hbm, w_ref, isc_ref, o_ref, xs_ref, sem, *, h_t, kh, kw,
+                 ow, co, has_isc, pads, xoff=0):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
     bb = pl.program_id(0)
     ih = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[bb, pl.ds(ih * h_t, h_t + kh - 1)], xs_ref, sem)
-    cp.start()
-    cp.wait()
+    _stripe_load(x_hbm, xs_ref, sem, bb, ih, h_t=h_t, stripe=h_t + kh - 1,
+                 pads=pads)
     if has_isc:
         # fold the per-(batch, in-channel) style scale into the resident
         # stripe once (saves the producer's full x*style HBM pass). The
@@ -87,7 +153,7 @@ def _conv_kernel(x_hbm, w_ref, isc_ref, o_ref, xs_ref, sem, *, h_t, kh, kw,
     acc = jnp.zeros((h_t, ow, co), jnp.float32)
     for ty in range(kh):
         for tx in range(kw):
-            win = xs_ref[ty:ty + h_t, tx:tx + ow, :]
+            win = xs_ref[ty:ty + h_t, xoff + tx:xoff + tx + ow, :]
             acc = acc + lax.dot_general(
                 win, w_ref[ty, tx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
@@ -106,17 +172,34 @@ def _conv_pallas(x, w, pads, in_scale=None, interpret=False):
     ow = wd + px0 + px1 - kw + 1
     itemsize = x.dtype.itemsize
     sub_min = 32 // itemsize            # sublane tile: 8 f32 / 16 bf16
-    wx_extra = (-(wd + px0 + px1)) % sub_min
-    xpad = jnp.pad(x, ((0, 0), (py0, py1), (px0, px1 + wx_extra), (0, 0)))
-    wpi = wd + px0 + px1 + wx_extra
+    # in-kernel halo padding when every tile's valid window stays in
+    # bounds (h_t >= pad on both edges) and the DMA destination window is
+    # sublane-tileable; else pre-pad in HBM (legacy). The valid window
+    # lands at dst_col = px0 rounded up to the sublane tile (Mosaic DMA
+    # offset constraint); reads shift right by the same xoff.
+    xoff = (-px0) % sub_min
+    dst_col = px0 + xoff
+    if wd % sub_min == 0:
+        need = dst_col + wd + px1
+        wpi = need + ((-need) % sub_min)
+    else:
+        wpi = wd + px0 + px1 + ((-(wd + px0 + px1)) % sub_min)
     h_t = _pick_ht(oh, kh, wpi, ci, ow, co, itemsize)
+    if py0 <= h_t and py1 <= h_t and wd % sub_min == 0:
+        pads_k = (py0, py1, dst_col, wd, oh // h_t)
+        xin = x
+    else:
+        pads_k, xoff = None, 0
+        wpi = wd + px0 + px1 + ((-(wd + px0 + px1)) % sub_min)
+        xin = jnp.pad(x, ((0, 0), (py0, py1),
+                          (px0, wpi - wd - px0, ), (0, 0)))
 
     has_isc = in_scale is not None
     isc = (in_scale if has_isc else jnp.ones((b, 1))).astype(x.dtype)
     isc = isc[:, None, :]  # (b, 1, c) — blocked per-batch below
     return pl.pallas_call(
         functools.partial(_conv_kernel, h_t=h_t, kh=kh, kw=kw, ow=ow, co=co,
-                          has_isc=has_isc),
+                          has_isc=has_isc, pads=pads_k, xoff=xoff),
         out_shape=jax.ShapeDtypeStruct((b, oh, ow, co), x.dtype),
         grid=(b, oh // h_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
@@ -132,7 +215,7 @@ def _conv_pallas(x, w, pads, in_scale=None, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xpad, w.astype(x.dtype), isc)
+    )(xin, w.astype(x.dtype), isc)
 
 
 def _scaled_ref(x, w, in_scale, pads):

@@ -118,7 +118,8 @@ def _pick_ht(oh, kpad2, wpi, ci, ow, co_total, ncols_max, itemsize) -> int:
     return 1
 
 
-def _multi_kernel(*refs, h_t, kpad2, ow, co_total, plan, has_isc):
+def _multi_kernel(*refs, h_t, kpad2, ow, co_total, plan, has_isc, pads,
+                  xoff=0):
     import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -133,10 +134,9 @@ def _multi_kernel(*refs, h_t, kpad2, ow, co_total, plan, has_isc):
 
     bb = pl.program_id(0)
     ih = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[bb, pl.ds(ih * h_t, h_t + kpad2)], xs_ref, sem)
-    cp.start()
-    cp.wait()
+    from vspbfr_tpu.ops.pallas_conv import _stripe_load
+    _stripe_load(x_hbm, xs_ref, sem, bb, ih, h_t=h_t, stripe=h_t + kpad2,
+                 pads=pads)
     if has_isc:
         xs_ref[...] = xs_ref[...] * isc_ref[0][None]
     parts = []
@@ -154,10 +154,17 @@ def _multi_kernel(*refs, h_t, kpad2, ow, co_total, plan, has_isc):
     widths: dict[int, int] = {}
     for i, (_, _, entries) in enumerate(plan):
         for _, _, _, col, out_base, x_off, width in entries:
-            term = parts[i][:, x_off:x_off + ow, col:col + width]
+            term = parts[i][:, xoff + x_off:xoff + x_off + ow,
+                            col:col + width]
             segs[out_base] = term if out_base not in segs \
                 else segs[out_base] + term
             widths[out_base] = width
+    # NOTE on store width: concatenating the segments into one full-width
+    # store fails to lower ("result/input offset mismatch on non-concat
+    # dimension" — the segs carry distinct lane offsets from their partial
+    # slices), so stores stay per-branch. Measured, this is NOT the
+    # bottleneck anyway: the grouped d4|d8 kernel runs ~137 TF/s on issued
+    # FLOPs — its real waste is the 4x block-diagonal densification.
     for out_base, seg in segs.items():
         o_ref[0, :, :, out_base:out_base + widths[out_base]] = (
             seg.astype(o_ref.dtype))
@@ -175,19 +182,35 @@ def _multi_pallas(x, ws, in_scale, dils, groups, interpret=False):
 
     itemsize = x.dtype.itemsize
     sub_min = 32 // itemsize
-    wx_extra = (-(wd + 2 * pad)) % sub_min
-    xpad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad + wx_extra), (0, 0)))
-    wpi = wd + 2 * pad + wx_extra
     kpad2 = 2 * pad
+    # in-kernel halo padding (see pallas_conv._stripe_load) unless the
+    # dilation pad exceeds the row tile; DMA dst column rounds up to the
+    # sublane tile, reads shift right by xoff
+    xoff = (-pad) % sub_min
+    dst_col = pad + xoff
+    if wd % sub_min == 0:
+        need = dst_col + wd + pad
+        wpi = need + ((-need) % sub_min)
+    else:
+        wpi = wd + kpad2 + ((-(wd + kpad2)) % sub_min)
     ncols_max = max(n for _, n, _ in plan)
     h_t = _pick_ht(h, kpad2, wpi, ci, wd, co_total, ncols_max, itemsize)
+    if pad <= h_t and wd % sub_min == 0:
+        pads_k = (pad, pad, dst_col, wd, h // h_t)
+        xin = x
+    else:
+        pads_k, xoff = None, 0
+        wpi = wd + kpad2 + ((-(wd + kpad2)) % sub_min)
+        xin = jnp.pad(x, ((0, 0), (pad, pad),
+                          (pad, wpi - wd - pad), (0, 0)))
 
     has_isc = in_scale is not None
     isc = (in_scale if has_isc else jnp.ones((b, 1))).astype(x.dtype)
     isc = isc[:, None, :]
     return pl.pallas_call(
         functools.partial(_multi_kernel, h_t=h_t, kpad2=kpad2, ow=wd,
-                          co_total=co_total, plan=plan, has_isc=has_isc),
+                          co_total=co_total, plan=plan, has_isc=has_isc,
+                          pads=pads_k, xoff=xoff),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, co_total), x.dtype),
         grid=(b, h // h_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
@@ -202,7 +225,7 @@ def _multi_pallas(x, ws, in_scale, dils, groups, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xpad, *mats, isc)
+    )(xin, *mats, isc)
 
 
 # ---------------------------------------------------------------------------

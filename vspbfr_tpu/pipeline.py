@@ -140,6 +140,24 @@ class RestorationPipeline:
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
             else x, tree)
 
+    def prepare_params(self, params, gen_params=None):
+        """Pre-cast the bf16-stage param subtrees (frozen decoder +
+        RestoreNet / its EMA) ONCE at load time. restore() casts them
+        per call otherwise — astype on an already-bf16 leaf traces to a
+        no-op, so pre-cast params skip the in-graph weight convert
+        (measured 1.4 ms/call of `convert_element_type` HLOs in the
+        XProf trace — ~2% of end-to-end). The f32 islands (e4e encoder,
+        diffuser) are untouched. Serving should always call this."""
+        if self.compute_dtype is None:
+            return params if gen_params is None else (params, gen_params)
+        out = dict(params)
+        out["psp"] = {**params["psp"],
+                      "decoder": self._cast(params["psp"]["decoder"])}
+        out["generator"] = self._cast(params["generator"])
+        if gen_params is None:
+            return out
+        return out, self._cast(gen_params)
+
     def restore(self, params, low_imgs: jnp.ndarray, rng: jax.Array,
                 gen_params=None, deterministic: bool = True,
                 return_sample: bool = False, upto: str = "full"):

@@ -59,6 +59,12 @@ class RestoreTrainConfig:
     # rematerialize G/D forwards inside the grads: the 512px step otherwise
     # exceeds a v5e's 16GB HBM (R1 double-grad + full activation residency)
     remat: bool = True
+    # mixed precision: "bfloat16" runs the G and D FORWARD/BACKWARD compute
+    # in bf16 with f32 islands — params, optimizer states, EMA, loss
+    # reductions, D logits, the R1 penalty, and the LPIPS/ArcFace loss nets
+    # all stay f32 (the proven inference recipe, pipeline.compute_dtype).
+    # None (default) = full f32, the reference's training dtype.
+    compute_dtype: str | None = None
 
 
 class RestoreTrainer:
@@ -107,6 +113,20 @@ class RestoreTrainer:
         return (jax.lax.stop_gradient(clean),
                 jax.lax.stop_gradient(feats))
 
+    @property
+    def _dt(self):
+        return (jnp.dtype(self.cfg.compute_dtype)
+                if self.cfg.compute_dtype else None)
+
+    def _cast(self, tree):
+        dt = self._dt
+        if dt is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+
     def _generate(self, g_params, low, feats, clean, rng,
                   deterministic=False):
         k_mix, k_noise, k_drop = jax.random.split(rng, 3)
@@ -114,10 +134,17 @@ class RestoreTrainer:
                                                       low.shape[0])
 
         def fwd(g_params, low, feats, clean, noise_latent):
-            return self.pipe.generator.apply(
+            # mixed precision: cast params + activations INSIDE the traced
+            # fn, so param/opt state stays f32 and grads come back f32
+            # through the casts (loss-scale-free: bf16's f32-range exponent
+            # needs no scaling, unlike fp16)
+            g_params, low, feats, clean, noise_latent = self._cast(
+                (g_params, low, feats, clean, noise_latent))
+            out = self.pipe.generator.apply(
                 {"params": g_params}, low, feats, clean, noise_latent,
                 input_is_latent=True, deterministic=deterministic,
                 rngs={"noise": k_noise, "dropout": k_drop})
+            return out.astype(jnp.float32)
 
         if self.cfg.remat:
             fwd = jax.checkpoint(fwd)
@@ -125,7 +152,11 @@ class RestoreTrainer:
 
     def _disc_apply(self, d_params, x):
         def fwd(d_params, x):
-            return self.disc.apply({"params": d_params}, x)
+            # logits return in f32 (softplus GAN losses + ADA controller
+            # stay full precision)
+            d_params, x = self._cast((d_params, x))
+            return self.disc.apply({"params": d_params}, x).astype(
+                jnp.float32)
         if self.cfg.remat:
             fwd = jax.checkpoint(fwd)
         return fwd(d_params, x)
@@ -204,7 +235,19 @@ class RestoreTrainer:
                 clean: jnp.ndarray, feats: Any, rng: jax.Array,
                 ada_p: jnp.ndarray | None = None):
         """G update (`restoration_train.py:221-249`) + EMA, against the
-        already-updated D and the D phase's frozen embedding."""
+        already-updated D and the D phase's frozen embedding.
+
+        The one sum-reduced loss term needs care under data parallelism:
+        the reference sums LPIPS over the per-GPU batch of `--batch`
+        (`restoration_train.py:236-238`) and DDP then *averages* gradients
+        across ranks, so its effective global term is
+        mean(lpips) * per_gpu_batch — independent of world size. Inside a
+        sharded jit we see the global batch, so a bare jnp.sum would grow
+        the term by n_devices. We therefore compute
+        mean * cfg.batch (the configured per-device batch), which equals
+        global_sum / n_ranks whenever each device carries cfg.batch
+        samples and is invariant to how a fixed global batch is sharded.
+        All other terms are means, which DDP averaging leaves invariant."""
         cfg = self.cfg
         k_gen_g, k_aug_g = jax.random.split(rng)
 
@@ -220,8 +263,9 @@ class RestoreTrainer:
             gan = g_nonsaturating_loss(fake_pred)
             percept = ident = jnp.zeros(())
             if cfg.percept_weight > 0:
-                percept = jnp.sum(self.lpips.apply(
-                    {"params": frozen["lpips"]}, fake, real)) * cfg.percept_weight
+                percept = jnp.mean(self.lpips.apply(
+                    {"params": frozen["lpips"]}, fake, real)
+                    ) * cfg.batch * cfg.percept_weight
             if cfg.id_weight > 0:
                 ident = id_loss(self.id_net.apply, frozen["id"], fake,
                                 real) * cfg.id_weight

@@ -19,10 +19,10 @@ import numpy as np
 
 
 SHAPES = [
-    # (label, x-shape(packed/unpacked NHWC), cin_unit, cout_lanes, nc)
-    ("512-res packed  (dec+res)", (4, 256, 256, 256), 256, 256, 4),
-    ("256-res unpacked (dec)   ", (4, 256, 256, 128), 128, 128, 1),
-    ("128-res unpacked        ", (4, 128, 128, 256), 256, 256, 1),
+    # (label, x-shape (packed/unpacked NHWC), cout_lanes, nc)
+    ("512-res packed  (dec+res)", (4, 256, 256, 256), 256, 4),
+    ("256-res unpacked (dec)   ", (4, 256, 256, 128), 128, 1),
+    ("128-res unpacked        ", (4, 128, 128, 256), 256, 1),
 ]
 
 
@@ -45,7 +45,7 @@ def main():
         float(np.asarray(jnp.sum(out.astype(jnp.float32))))
         return (time.perf_counter() - t0) / n * 1e3
 
-    for label, xs, ci, co, nc in SHAPES:
+    for label, xs, co, nc in SHAPES:
         b, h, wd, _ = xs
         x = jax.random.normal(k, xs, dt)
         w = jax.random.normal(k, (3, 3, xs[3], co), dt) * 0.05
@@ -91,7 +91,7 @@ def pieces():
         float(np.asarray(jnp.sum(out.astype(jnp.float32))))
         return (time.perf_counter() - t0) / n * 1e3
 
-    for label, xs, ci, co, nc in SHAPES:
+    for label, xs, co, nc in SHAPES:
         b, h, wd, _ = xs
         x = jax.random.normal(k, xs, dt)
         w = jax.random.normal(k, (3, 3, xs[3], co), dt) * 0.05

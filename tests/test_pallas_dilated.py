@@ -80,7 +80,7 @@ def test_quad_all_four_rates():
     ws = [jax.random.normal(jax.random.fold_in(k, i), (3, 3, 16, 4)) * 0.3
           for i in range(4)]
     from vspbfr_tpu.ops.pallas_dilated import dilated_multi_conv, _multi_ref
-    ref = _multi_ref(x, ws, s, (1, 2, 4, 8), 1)
+    ref = _multi_ref(x, ws, s, None, (1, 2, 4, 8), 1)
     out = dilated_multi_conv(x, ws, (1, 2, 4, 8), 1, in_scale=s,
                              interpret=True)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -115,7 +115,10 @@ class EqualConv2d(nn.Module):
     packed_in_perm: tuple | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, epi=None) -> jnp.ndarray:
+        """epi: optional styled epilogue dict (noise/bias/act/post_add)
+        fused into the conv store where the lowering ends in a dense
+        Pallas conv (the caller owns the bias in that case)."""
         perm = (np.asarray(self.packed_in_perm, np.int32)
                 if self.packed_in_perm is not None else None)
         c_in = x.shape[-1] // (4 if self.packed else 1)
@@ -125,12 +128,15 @@ class EqualConv2d(nn.Module):
         if self.packed:
             from vspbfr_tpu.ops import packed as pk
             assert self.stride == 1 and self.pre_blur_taps is None
+            assert not (self.use_bias and epi is not None)
             if self.kernel_size == 1:
-                out = pk.conv1x1_packed(x, w * scale, in_ch_perm=perm)
+                out = pk.conv1x1_packed(x, w * scale, in_ch_perm=perm,
+                                        epi=epi)
             else:
                 hint = self.dilation >= 4 and x.shape[-1] >= 512
                 out = pk.conv2d_packed(x, w * scale, dilation=self.dilation,
-                                       groups_hint=hint, in_ch_perm=perm)
+                                       groups_hint=hint, in_ch_perm=perm,
+                                       epi=epi)
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros, (self.features,))
                 out = out + pk.pack_vector(b).reshape(1, 1, 1, -1)
@@ -140,12 +146,21 @@ class EqualConv2d(nn.Module):
             out = fused_blur_strided_conv(x, w * scale, self.pre_blur_taps,
                                           self.pre_blur_pad,
                                           stride=self.stride)
+        elif (epi is not None and self.stride == 1 and self.dilation == 1
+              and not self.use_bias):
+            from vspbfr_tpu.ops.pallas_conv import conv2d_dense_epilogue
+            p = self.padding
+            return conv2d_dense_epilogue(x, w * scale, ((p, p), (p, p)),
+                                         **epi)
         else:
             out = conv2d(x, w * scale, stride=self.stride,
                          padding=self.padding, dilation=self.dilation)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + b.reshape(1, 1, 1, -1)
+        if epi is not None:
+            from vspbfr_tpu.ops.packed import _epi_after
+            out = _epi_after(out, epi)
         return out
 
 
@@ -252,7 +267,8 @@ class ModulatedConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
-                 return_demod: bool = False, return_weight: bool = False):
+                 return_demod: bool = False, return_weight: bool = False,
+                 epilogue=None):
         c_in = x.shape[-1] // (4 if self.packed_in else 1)
         if not self.external_modulation:
             style = EqualLinear(c_in, bias_init=1.0, name="modulation")(style)
@@ -271,7 +287,23 @@ class ModulatedConv2d(nn.Module):
             packed_in=self.packed_in,
             packed_out=self.packed_out,
             return_demod=return_demod,
+            epilogue=epilogue,
         )
+
+
+def _styled_out_shape(xshape, features: int, up: bool, down: bool,
+                      pk_in: bool, pk_out: bool) -> tuple:
+    """Static output shape of a StyledConv given its input shape and
+    layout flags (packed tensors live on the half grid with 4C channels)."""
+    b, h = xshape[0], xshape[1]
+    res = 2 * h if pk_in else h
+    if up:
+        res *= 2
+    if down:
+        res //= 2
+    grid = res // 2 if pk_out else res
+    c = 4 * features if pk_out else features
+    return (b, grid, grid, c)
 
 
 class StyledConv(nn.Module):
@@ -290,10 +322,25 @@ class StyledConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray,
-                 noise: jnp.ndarray | None = None) -> jnp.ndarray:
-        from vspbfr_tpu.ops.pallas_epilogue import conv_epilogue
-
-        out, dv = ModulatedConv2d(
+                 noise: jnp.ndarray | None = None,
+                 post_add=()) -> jnp.ndarray:
+        """post_add: tensors of the output shape added AFTER the lrelu
+        (the RestoreNet decoder's skip fusion rides the same fused store,
+        `models/RestoreNet.py:1029-1035`)."""
+        # the epilogue fuses into the conv's store, so the noise draw needs
+        # the OUTPUT shape before the conv runs — static layer geometry,
+        # probed with a zero-cost placeholder (only shape/dtype are read)
+        out_shape = _styled_out_shape(x.shape, self.features, self.upsample,
+                                      self.downsample, self.packed_in,
+                                      self.packed_out)
+        probe = jnp.zeros(out_shape, x.dtype)
+        w_n, nz = NoiseInjection(packed=self.packed_out,
+                                 name="noise")(probe, noise,
+                                               return_parts=True)
+        bias = FusedLeakyReLU(self.features, packed=self.packed_out,
+                              name="activate")(None, return_bias=True)
+        # demod-scale + noise + bias + lrelu fused into the conv store
+        return ModulatedConv2d(
             self.features, self.kernel_size,
             demodulate=self.demodulate,
             upsample=self.upsample,
@@ -302,13 +349,8 @@ class StyledConv(nn.Module):
             packed_in=self.packed_in,
             packed_out=self.packed_out,
             name="conv",
-        )(x, style, return_demod=True)
-        w_n, nz = NoiseInjection(packed=self.packed_out,
-                                 name="noise")(out, noise, return_parts=True)
-        bias = FusedLeakyReLU(self.features, packed=self.packed_out,
-                              name="activate")(None, return_bias=True)
-        # demod-scale + noise + bias + lrelu in one fused pass
-        return conv_epilogue(out, dv, w_n * nz, bias, act=True)
+        )(x, style, epilogue=dict(noise=w_n * nz, bias=bias, act=True,
+                                  post_add=tuple(post_add)))
 
 
 class ToRGB(nn.Module):
@@ -355,23 +397,28 @@ class ConvLayer(nn.Module):
     packed_in_perm: tuple | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from vspbfr_tpu.ops.pallas_epilogue import conv_epilogue
-
+    def __call__(self, x: jnp.ndarray, epi_extra=None) -> jnp.ndarray:
+        """epi_extra: optional dict of extra epilogue pieces (noise,
+        post_add) merged into the activation epilogue — lets a SMART tail
+        ride the fusion conv's store (requires activate=True)."""
         k = self.kernel_size
+        epi = None
+        if self.activate:
+            bias = FusedLeakyReLU(self.features, use_bias=self.use_bias,
+                                  packed=self.packed,
+                                  name="activate")(None, return_bias=True)
+            epi = dict(noise=None, bias=bias, act=True, post_add=())
+            if epi_extra:
+                epi.update(epi_extra)
+        else:
+            assert not epi_extra
         if self.packed:
             assert not self.downsample
-            out = EqualConv2d(self.features, k, stride=1, padding=k // 2,
-                              use_bias=self.use_bias and not self.activate,
-                              packed=True,
-                              packed_in_perm=self.packed_in_perm,
-                              name="conv")(x)
-            if self.activate:
-                bias = FusedLeakyReLU(self.features, use_bias=self.use_bias,
-                                      packed=True,
-                                      name="activate")(None, return_bias=True)
-                out = conv_epilogue(out, None, None, bias, act=True)
-            return out
+            return EqualConv2d(self.features, k, stride=1, padding=k // 2,
+                               use_bias=self.use_bias and not self.activate,
+                               packed=True,
+                               packed_in_perm=self.packed_in_perm,
+                               name="conv")(x, epi=epi)
         if self.downsample:
             # blur + stride-2 conv fused into one strided conv with the
             # composed kernel (removes the depthwise FIR pass)
@@ -382,15 +429,13 @@ class ConvLayer(nn.Module):
                               pre_blur_taps=tuple(self.blur_kernel),
                               pre_blur_pad=((p + 1) // 2, p // 2),
                               name="conv")(x)
-        else:
-            out = EqualConv2d(self.features, k, stride=1, padding=k // 2,
-                              use_bias=self.use_bias and not self.activate,
-                              name="conv")(x)
-        if self.activate:
-            bias = FusedLeakyReLU(self.features, use_bias=self.use_bias,
-                                  name="activate")(None, return_bias=True)
-            out = conv_epilogue(out, None, None, bias, act=True)
-        return out
+            if self.activate:
+                from vspbfr_tpu.ops.packed import _epi_after
+                out = _epi_after(out, epi)
+            return out
+        return EqualConv2d(self.features, k, stride=1, padding=k // 2,
+                           use_bias=self.use_bias and not self.activate,
+                           name="conv")(x, epi=epi)
 
 
 class ResBlock(nn.Module):
@@ -497,15 +542,19 @@ class SMARTLayer(nn.Module):
         # the fusion conv's input channels (zero data movement)
         perm = (_branch_major_perm(self.features, len(self.rates))
                 if self.packed else None)
-        out = ConvLayer(self.features, 3, packed=self.packed,
-                        packed_in_perm=perm, name="fusion")(out)
-        from vspbfr_tpu.ops.pallas_epilogue import conv_epilogue
+        # the whole tail — fusion-conv bias+lrelu, then noise + (optional)
+        # bias+lrelu (`models/RestoreNet.py:226-238`) — rides the fusion
+        # conv's fused store as a two-stage epilogue; the concat has the
+        # fusion output's exact shape, so it doubles as the noise probe
         w_n, nz = NoiseInjection(packed=self.packed,
                                  name="noise")(out, noise, return_parts=True)
-        bias = (FusedLeakyReLU(self.features, packed=self.packed,
-                               name="activate")(None, return_bias=True)
-                if self.activate else None)
-        out = conv_epilogue(out, None, w_n * nz, bias, act=self.activate)
+        bias2 = (FusedLeakyReLU(self.features, packed=self.packed,
+                                name="activate")(None, return_bias=True)
+                 if self.activate else None)
+        out = ConvLayer(self.features, 3, packed=self.packed,
+                        packed_in_perm=perm, name="fusion")(
+            out, epi_extra=dict(noise2=w_n * nz, bias2=bias2,
+                                act2=self.activate))
         if return_intermediates:
             return out, outs + [out]
         return out

@@ -182,9 +182,13 @@ class RestorationNet(nn.Module):
             conv_up = self.convs[layer_idx]
             conv_smart = self.convs[layer_idx + 1]
             to_rgb = self.to_rgbs[layer_idx // 2]
-            out = conv_up(out, sty(i), noise=noise[layer_idx + 1])
             fusion_index = (i + 1) // 2
-            out = out + features[fusion_index] + de_feats[fusion_index]
+            # the `+ enc_feat + de_feat` skip fusion
+            # (`models/RestoreNet.py:1029-1035`) rides the up-conv's fused
+            # epilogue store instead of a separate 3-read elementwise pass
+            out = conv_up(out, sty(i), noise=noise[layer_idx + 1],
+                          post_add=(features[fusion_index],
+                                    de_feats[fusion_index]))
             out = conv_smart(out, sty(i + 1), noise=noise[layer_idx + 2])
             skip = to_rgb(out, sty(i + 2), skip)
             i += 2

@@ -230,13 +230,15 @@ def modulated_conv2d_d12_packed(x: jnp.ndarray, w1: jnp.ndarray,
     wp = jnp.concatenate([wp1, wd2], axis=3)       # (3,3,4C,8Cb)
 
     sty = pk.pack_vector(style)
-    out = pk._conv(x, wp, (1, 1), (1, 1), in_scale=sty)
+    epi = None
     if demodulate:
+        # demod folds into the Pallas conv's store (out_scale) instead of
+        # a separate full-tensor multiply pass
         d1 = demod_coeffs(w1, style, scale, eps)
         d2 = demod_coeffs(w2, style, scale, eps)
         dv = jnp.concatenate([pk.pack_vector(d1), pk.pack_vector(d2)], -1)
-        out = out * dv[:, None, None, :]
-    return out
+        epi = dict(out_scale=dv, act=False)
+    return pk._conv(x, wp, (1, 1), (1, 1), in_scale=sty, epi=epi)
 
 
 def modulated_conv2d_d48_packed(x: jnp.ndarray, w4: jnp.ndarray,
@@ -261,14 +263,14 @@ def modulated_conv2d_d48_packed(x: jnp.ndarray, w4: jnp.ndarray,
     c_in = w4.shape[2]
     scale = 1.0 / ((c_in * 9) ** 0.5)
     sty = pk.pack_vector(style)
-    out = dilated_pair_conv(x, scale * w4, scale * w8, 2, 4, groups=4,
-                            in_scale=sty)
+    dv = None
     if demodulate:
+        # demod folds into the pair kernel's stores (out_scale)
         d4 = demod_coeffs(w4, style, scale, eps)
         d8 = demod_coeffs(w8, style, scale, eps)
         dv = jnp.concatenate([pk.pack_vector(d4), pk.pack_vector(d8)], -1)
-        out = out * dv[:, None, None, :]
-    return out
+    return dilated_pair_conv(x, scale * w4, scale * w8, 2, 4, groups=4,
+                             in_scale=sty, out_scale=dv)
 
 
 def modulated_conv2d_multi(x: jnp.ndarray, ws, rates, style: jnp.ndarray,
@@ -284,13 +286,12 @@ def modulated_conv2d_multi(x: jnp.ndarray, ws, rates, style: jnp.ndarray,
     c_in = ws[0].shape[2]
     k = ws[0].shape[0]
     scale = 1.0 / ((c_in * k * k) ** 0.5)
-    out = dilated_multi_conv(x, tuple(scale * w for w in ws), tuple(rates),
-                             groups=1, in_scale=style)
+    dv = None
     if demodulate:
         dv = jnp.concatenate(
             [demod_coeffs(w, style, scale, eps) for w in ws], -1)
-        out = out * dv[:, None, None, :]
-    return out
+    return dilated_multi_conv(x, tuple(scale * w for w in ws), tuple(rates),
+                              groups=1, in_scale=style, out_scale=dv)
 
 
 def demod_coeffs(w: jnp.ndarray, style: jnp.ndarray, scale: float,
@@ -321,11 +322,14 @@ def _modulated_conv2d_packed(
     packed_in: bool,
     packed_out: bool,
     return_demod: bool = False,
+    epilogue=None,
 ) -> jnp.ndarray:
     """Packed-layout modulated conv (see ops/packed.py). x is (B,h,w,4Ci)
     when packed_in else (B,H,W,Ci); output packed iff packed_out. The math
     is the identical input-scale/conv/demodulate formulation on the
-    space-to-depth layout."""
+    space-to-depth layout. epilogue (noise/bias/act/post_add): the styled
+    epilogue — with the demod scale folded in — fused into the conv's
+    store where the lowering ends in a dense Pallas conv."""
     from vspbfr_tpu.ops import packed as pk
 
     kh, kw, c_in, c_out = w.shape
@@ -333,9 +337,11 @@ def _modulated_conv2d_packed(
     scale = 1.0 / ((c_in * k * k) ** 0.5)
     if demodulate:
         d = demod_coeffs(w, style, scale, eps)   # (B, c_out)
+    dv = (pk.pack_vector(d) if packed_out else d) if demodulate else None
 
     sty = pk.pack_vector(style) if packed_in else style
     ws = scale * w
+    epi = dict(epilogue, out_scale=dv) if epilogue is not None else None
 
     # the style multiply rides into the Pallas conv's input stripe
     # (in_scale) where the fast path applies; other paths multiply inline
@@ -343,19 +349,19 @@ def _modulated_conv2d_packed(
         assert packed_out and dilation == 1
         taps = tuple(blur_kernel)
         out = pk.up_conv_blur_packed(x, ws, taps, packed_in=packed_in,
-                                     in_scale=sty)
+                                     in_scale=sty, epi=epi)
     elif down:
         assert packed_in and dilation == 1
         if packed_out:
             out = pk.blur_down_conv_packed_packed(x, ws, tuple(blur_kernel),
-                                                  in_scale=sty)
+                                                  in_scale=sty, epi=epi)
         else:
             out = pk.blur_down_conv_packed(x, ws, tuple(blur_kernel),
-                                           in_scale=sty)
+                                           in_scale=sty, epi=epi)
     else:
         assert packed_in and packed_out
         if k == 1:
-            out = pk.conv1x1_packed(x, ws, in_scale=sty)
+            out = pk.conv1x1_packed(x, ws, in_scale=sty, epi=epi)
         else:
             # dense lowering beats XLA's grouped convs at the production
             # widths: grouped d=4/8 branches ran 5-7 TF/s vs 60+ TF/s dense
@@ -363,9 +369,10 @@ def _modulated_conv2d_packed(
             # only for packed widths >= 512 which no current config hits
             hint = dilation >= 4 and x.shape[-1] >= 512
             out = pk.conv2d_packed(x, ws, dilation=dilation,
-                                   groups_hint=hint, in_scale=sty)
+                                   groups_hint=hint, in_scale=sty, epi=epi)
 
-    dv = (pk.pack_vector(d) if packed_out else d) if demodulate else None
+    if epilogue is not None:
+        return out
     if return_demod:
         return out, dv
     if demodulate:
@@ -387,6 +394,7 @@ def modulated_conv2d(
     packed_in: bool = False,
     packed_out: bool = False,
     return_demod: bool = False,
+    epilogue=None,
 ) -> jnp.ndarray:
     """Style-modulated conv. x: (B,H,W,Cin), w: (kh,kw,Cin,Cout), style: (B,Cin).
 
@@ -395,13 +403,18 @@ def modulated_conv2d(
 
     packed_in/packed_out select the space-to-depth layout (ops/packed.py)
     for the input/output tensors; parameters are identical in either mode.
+
+    epilogue: optional dict(noise=, bias=, act=, post_add=) — the styled
+    epilogue (demod scale folded in) applied after the conv, FUSED into
+    the conv's Pallas store on the dense stride-1 lowerings; the return
+    value is then the fully activated tensor (return_demod ignored).
     """
     if packed_in or packed_out:
         return _modulated_conv2d_packed(
             x, w, style, demodulate=demodulate, up=up, down=down,
             dilation=dilation, blur_kernel=blur_kernel, eps=eps,
             packed_in=packed_in, packed_out=packed_out,
-            return_demod=return_demod)
+            return_demod=return_demod, epilogue=epilogue)
     kh, kw, c_in, c_out = w.shape
     assert kh == kw, "square kernels only"
     k = kh
@@ -410,6 +423,7 @@ def modulated_conv2d(
 
     if demodulate:
         d = demod_coeffs(w, style, scale, eps)  # (B, c_out)
+    dv = d if demodulate else None
 
     xs = x * style[:, None, None, :]
     ws = scale * w
@@ -461,12 +475,22 @@ def modulated_conv2d(
             out = jnp.einsum("bhwc,bco->bhwo", x, wb)
         elif dilation == 1:
             # fold the style multiply into the Pallas conv input stripe
-            from vspbfr_tpu.ops.pallas_conv import conv2d_dense
-            out = conv2d_dense(x, ws, ((padding, padding), (padding, padding)),
-                               in_scale=style)
+            # (and the epilogue into its store, when given)
+            from vspbfr_tpu.ops.pallas_conv import (
+                conv2d_dense,
+                conv2d_dense_epilogue,
+            )
+            pads = ((padding, padding), (padding, padding))
+            if epilogue is not None:
+                return conv2d_dense_epilogue(x, ws, pads, in_scale=style,
+                                             out_scale=dv, **epilogue)
+            out = conv2d_dense(x, ws, pads, in_scale=style)
         else:
             out = conv2d(xs, ws, stride=1, padding=padding, dilation=dilation)
 
+    if epilogue is not None:
+        from vspbfr_tpu.ops.packed import _epi_after
+        return _epi_after(out, dict(epilogue, out_scale=dv))
     if return_demod:
         return out, (d if demodulate else None)
     if demodulate:

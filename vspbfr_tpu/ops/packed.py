@@ -41,12 +41,32 @@ import jax.numpy as jnp
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _conv(x, wp, pady, padx, in_scale=None):
+def _conv(x, wp, pady, padx, in_scale=None, epi=None):
     """Stride-1 dense conv via the gated Pallas fast path
     (ops/pallas_conv.py) with XLA fallback. in_scale: (B, C_in_packed)
-    per-sample scale folded into the kernel's input stripe."""
-    from vspbfr_tpu.ops.pallas_conv import conv2d_dense
+    per-sample scale folded into the kernel's input stripe. epi: optional
+    styled-conv epilogue dict (out_scale/noise/bias/act/post_add) fused
+    into the conv's store (ops/pallas_conv.py conv2d_dense_epilogue)."""
+    from vspbfr_tpu.ops.pallas_conv import (
+        conv2d_dense,
+        conv2d_dense_epilogue,
+    )
+    if epi is not None:
+        return conv2d_dense_epilogue(x, wp, (pady, padx), in_scale=in_scale,
+                                     **epi)
     return conv2d_dense(x, wp, (pady, padx), in_scale=in_scale)
+
+
+def _epi_after(out, epi):
+    """Apply an epilogue dict on an already-computed conv output (the
+    paths whose final op is not a fusable dense conv)."""
+    if epi is None:
+        return out
+    from vspbfr_tpu.ops.pallas_conv import _epi_ref
+    return _epi_ref(out, epi.get("out_scale"), epi.get("noise"),
+                    epi.get("bias"), epi.get("act", True),
+                    epi.get("post_add", ()), epi.get("noise2"),
+                    epi.get("bias2"), epi.get("act2", False))
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +211,8 @@ def _map_down(dk: int, pad0: int):
 def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
                   groups_hint: bool = True,
                   in_ch_perm: jnp.ndarray | None = None,
-                  in_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+                  in_scale: jnp.ndarray | None = None,
+                  epi=None) -> jnp.ndarray:
     """Stride-1 'same' conv on a packed tensor == packed(conv(unpacked)).
 
     x: (B, h, w, 4Ci) packed; w: (k, k, Ci, Co) the UNPACKED kernel.
@@ -218,33 +239,35 @@ def conv2d_packed(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
                 x = x * in_scale[:, None, None, :]
             # one group per phase, shared weights: tile Co 4x, block by phase
             wg = jnp.concatenate([w] * 4, axis=-1)  # (k,k,Ci,4Co)
-            return jax.lax.conv_general_dilated(
+            return _epi_after(jax.lax.conv_general_dilated(
                 x, wg.astype(x.dtype), (1, 1),
                 ((p2, p2), (p2, p2)), rhs_dilation=(d2, d2),
-                dimension_numbers=_DN, feature_group_count=4)
+                dimension_numbers=_DN, feature_group_count=4), epi)
         ci, co = w.shape[2], w.shape[3]
         wd = jnp.zeros((k, k, 4 * ci, 4 * co), w.dtype)
         for ph in range(4):
             wd = wd.at[:, :, ph * ci:(ph + 1) * ci,
                        ph * co:(ph + 1) * co].set(w)
         if d2 == 1:
-            return _conv(x, wd, (p2, p2), (p2, p2), in_scale=in_scale)
+            return _conv(x, wd, (p2, p2), (p2, p2), in_scale=in_scale,
+                         epi=epi)
         if in_scale is not None:
             x = x * in_scale[:, None, None, :]
-        return jax.lax.conv_general_dilated(
+        return _epi_after(jax.lax.conv_general_dilated(
             x, wd.astype(x.dtype), (1, 1), ((p2, p2), (p2, p2)),
-            rhs_dilation=(d2, d2), dimension_numbers=_DN)
+            rhs_dilation=(d2, d2), dimension_numbers=_DN), epi)
 
     m = _map_s1(k, pad, dilation)
     wp, (py0, py1), (px0, px1) = _assemble2(w, m, m, 2, 2)
     if in_ch_perm is not None:
         wp = jnp.take(wp, jnp.asarray(in_ch_perm), axis=2)
-    return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale)
+    return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale, epi=epi)
 
 
 def conv1x1_packed(x: jnp.ndarray, w: jnp.ndarray,
                    in_ch_perm: jnp.ndarray | None = None,
-                   in_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+                   in_scale: jnp.ndarray | None = None,
+                   epi=None) -> jnp.ndarray:
     """1x1 conv on packed layout: phases map independently with shared
     weights. x: (B,h,w,4Ci), w: (1,1,Ci,Co) or (Ci,Co).
 
@@ -269,21 +292,22 @@ def conv1x1_packed(x: jnp.ndarray, w: jnp.ndarray,
         full = jnp.take(full, jnp.asarray(in_ch_perm), axis=0)
         if in_scale is not None:
             wb = in_scale[:, :, None].astype(x.dtype) * full.astype(x.dtype)
-            return jnp.einsum("bhwc,bco->bhwo", x, wb)
-        return (x @ full.astype(x.dtype))
+            return _epi_after(jnp.einsum("bhwc,bco->bhwo", x, wb), epi)
+        return _epi_after(x @ full.astype(x.dtype), epi)
     if in_scale is not None:
         wb = (in_scale.reshape(b, 4, ci)[:, :, :, None].astype(x.dtype)
               * w.astype(x.dtype)[None, None])          # (B, 4, Ci, Co)
         out = jnp.einsum("bhwpc,bpco->bhwpo",
                          x.reshape(b, h, wd, 4, ci), wb)
-        return out.reshape(b, h, wd, 4 * co)
+        return _epi_after(out.reshape(b, h, wd, 4 * co), epi)
     out = x.reshape(b, h, wd, 4, ci) @ w.astype(x.dtype)
-    return out.reshape(b, h, wd, 4 * co)
+    return _epi_after(out.reshape(b, h, wd, 4 * co), epi)
 
 
 def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
                         packed_in: bool,
-                        in_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+                        in_scale: jnp.ndarray | None = None,
+                        epi=None) -> jnp.ndarray:
     """StyleGAN2 up path (transposed stride-2 conv k=3 + FIR blur with the
     reference pad arithmetic, `models/RestoreNet.py:297-312`) emitting a
     PACKED output at 2x the resolution.
@@ -308,7 +332,10 @@ def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
     m = _map_up(dk, c0, packed_in)
     if not packed_in:
         wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 1, 2)
-        return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale)
+        # the packed output falls straight out of the conv, so the styled
+        # epilogue fuses into its store
+        return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale,
+                     epi=epi)
     wp, (py0, py1), (px0, px1) = _assemble2(d2, m, m, 2, 4)
     co = w.shape[3]
     # out16 channels from _assemble2 are (Ay*4 + Ax)*Co with A = 2*g + a;
@@ -326,7 +353,7 @@ def up_conv_blur_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
     wp = jnp.take(wp, jnp.asarray(perm), axis=3)
     out16 = _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale)
     from vspbfr_tpu.ops.pallas_d2s import interleave_d2s
-    return interleave_d2s(out16, 4 * co)
+    return _epi_after(interleave_d2s(out16, 4 * co), epi)
 
 
 def up_conv_blur_unpacked(x: jnp.ndarray, w: jnp.ndarray,
@@ -357,7 +384,8 @@ def up_conv_blur_unpacked(x: jnp.ndarray, w: jnp.ndarray,
 
 
 def blur_down_conv_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
-                          in_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+                          in_scale: jnp.ndarray | None = None,
+                          epi=None) -> jnp.ndarray:
     """StyleGAN2 down path (FIR blur + stride-2 conv,
     `models/RestoreNet.py:398-418`) consuming a PACKED input.
 
@@ -376,12 +404,12 @@ def blur_down_conv_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
 
     m = _map_down(dk, pad0)
     wp, (py0, py1), (px0, px1) = _assemble2(e2, m, m, 2, 1)
-    return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale)
+    return _conv(x, wp, (py0, py1), (px0, px1), in_scale=in_scale, epi=epi)
 
 
 def blur_down_conv_packed_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
-                                 in_scale: jnp.ndarray | None = None
-                                 ) -> jnp.ndarray:
+                                 in_scale: jnp.ndarray | None = None,
+                                 epi=None) -> jnp.ndarray:
     """StyleGAN2 down path consuming a PACKED input and emitting a PACKED
     output (both resolutions above packed_min_res).
 
@@ -415,10 +443,10 @@ def blur_down_conv_packed_packed(x: jnp.ndarray, w: jnp.ndarray, taps: tuple,
         x = x * in_scale[:, None, None, :]
     # out[q] = sum_u K[u - u0] x[2q + u], u in [u0, u1]; with stride 2 and
     # pads (-u0, u1 - 1) the output grid is exactly h/2 (h even)
-    return jax.lax.conv_general_dilated(
+    return _epi_after(jax.lax.conv_general_dilated(
         x, wp.astype(x.dtype), window_strides=(2, 2),
         padding=((py0, py1 - 1), (px0, px1 - 1)),
-        dimension_numbers=_DN)
+        dimension_numbers=_DN), epi)
 
 
 def upsample2d_packed(x: jnp.ndarray, taps: tuple,

@@ -25,11 +25,14 @@ its conv throughput (`op/conv2d_gradfix.py:134-223`).
 from __future__ import annotations
 
 import functools
+import math
 
 import os
 
 import jax
 import jax.numpy as jnp
+
+_SQRT2 = math.sqrt(2.0)
 
 
 def _pallas_enabled() -> bool:
@@ -55,12 +58,13 @@ def _use_pallas(x, w) -> bool:
     return b * h * wd >= 32768  # dispatch overhead dominates below
 
 
-def _pick_ht(oh, kh, wpi, ci, ow, co, itemsize) -> int:
+def _pick_ht(oh, kh, wpi, ci, ow, co, itemsize, extra_row: int = 0) -> int:
     budget = 9 * 1024 * 1024
     for cand in (32, 16, 8, 4, 2, 1):
         if oh % cand:
             continue
-        need = ((cand + kh - 1) * wpi * ci + 2 * cand * ow * co) * itemsize
+        need = ((cand + kh - 1) * wpi * ci + 2 * cand * ow * co) * itemsize \
+            + cand * extra_row
         if need < budget:
             return cand
     return 1
@@ -134,11 +138,27 @@ def _stripe_load(x_hbm, xs_ref, sem, bb, ih, *, h_t, stripe, pads):
         copy(ih * h_t - py0, 0, stripe)
 
 
-def _conv_kernel(x_hbm, w_ref, isc_ref, o_ref, xs_ref, sem, *, h_t, kh, kw,
-                 ow, co, has_isc, pads, xoff=0):
+def _n_epi_refs(epi) -> int:
+    if epi is None:
+        return 0
+    has_osc, nc, has_bias, act, n_post, stage2 = epi
+    n = (int(has_osc) + (1 if nc else 0) + (1 if nc > 1 else 0)
+         + int(has_bias) + n_post)
+    if stage2 is not None:
+        nc2, has_bias2, _ = stage2
+        n += (1 if nc2 else 0) + (1 if nc2 > 1 else 0) + int(has_bias2)
+    return n
+
+
+def _conv_kernel(*refs, h_t, kh, kw, ow, co, has_isc, pads, xoff=0,
+                 epi=None):
     import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    x_hbm, w_ref, isc_ref = refs[:3]
+    epi_refs = refs[3:3 + _n_epi_refs(epi)]
+    o_ref, xs_ref, sem = refs[3 + _n_epi_refs(epi):]
 
     bb = pl.program_id(0)
     ih = pl.program_id(1)
@@ -158,10 +178,51 @@ def _conv_kernel(x_hbm, w_ref, isc_ref, o_ref, xs_ref, sem, *, h_t, kh, kw,
                 win, w_ref[ty, tx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+    if epi is not None:
+        # the styled-conv epilogue rides the f32 accumulator before the
+        # store: demod scale + noise injection + bias + lrelu*sqrt2 (+
+        # post-activation skip adds), optionally a SECOND
+        # noise/bias/lrelu stage (the SMART tail's fusion-conv act
+        # followed by noise+act, `models/RestoreNet.py:226-238`) — the
+        # conv output never round-trips HBM between conv and epilogue
+        # (ops/pallas_epilogue.py is the two-pass form this replaces)
+        has_osc, nc, has_bias, act, n_post, stage2 = epi
+        it = iter(epi_refs)
+
+        def add_nz(acc, nc):
+            nz = next(it)[0].astype(jnp.float32)
+            if nc == 1:
+                return acc + jnp.broadcast_to(nz, acc.shape)
+            return acc + lax.dot_general(
+                nz, next(it)[...].astype(jnp.float32),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if has_osc:
+            acc = acc * next(it)[0].astype(jnp.float32)[None]
+        if nc:
+            acc = add_nz(acc, nc)
+        if has_bias:
+            acc = acc + next(it)[0].astype(jnp.float32)[None]
+        if act:
+            acc = jnp.where(acc >= 0, acc, 0.2 * acc) * _SQRT2
+        for _ in range(n_post):
+            acc = acc + next(it)[0].astype(jnp.float32)
+        if stage2 is not None:
+            nc2, has_bias2, act2 = stage2
+            if nc2:
+                acc = add_nz(acc, nc2)
+            if has_bias2:
+                acc = acc + next(it)[0].astype(jnp.float32)[None]
+            if act2:
+                acc = jnp.where(acc >= 0, acc, 0.2 * acc) * _SQRT2
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _conv_pallas(x, w, pads, in_scale=None, interpret=False):
+def _conv_pallas(x, w, pads, in_scale=None, interpret=False,
+                 out_scale=None, noise=None, bias=None, act=False,
+                 post_add=(), noise2=None, bias2=None, act2=False,
+                 has_stage2=False, fuse_epi=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -184,7 +245,10 @@ def _conv_pallas(x, w, pads, in_scale=None, interpret=False):
         wpi = need + ((-need) % sub_min)
     else:
         wpi = wd + px0 + px1 + ((-(wd + px0 + px1)) % sub_min)
-    h_t = _pick_ht(oh, kh, wpi, ci, ow, co, itemsize)
+    # extra VMEM per output row for the fused-epilogue operands
+    extra_row = ((len(post_add) + (1 if noise is not None else 0))
+                 * ow * co * itemsize) if fuse_epi else 0
+    h_t = _pick_ht(oh, kh, wpi, ci, ow, co, itemsize, extra_row)
     if py0 <= h_t and py1 <= h_t and wd % sub_min == 0:
         pads_k = (py0, py1, dst_col, wd, oh // h_t)
         xin = x
@@ -197,15 +261,58 @@ def _conv_pallas(x, w, pads, in_scale=None, interpret=False):
     has_isc = in_scale is not None
     isc = (in_scale if has_isc else jnp.ones((b, 1))).astype(x.dtype)
     isc = isc[:, None, :]  # (b, 1, c) — blocked per-batch below
+
+    epi = None
+    epi_in, epi_specs = [], []
+    if fuse_epi:
+        from vspbfr_tpu.ops.pallas_epilogue import _expand_matrix
+
+        def push_nz(nz):
+            nc = nz.shape[-1]
+            epi_in.append(nz.astype(x.dtype))
+            epi_specs.append(pl.BlockSpec((1, h_t, ow, nc),
+                                          lambda bb, ih: (bb, ih, 0, 0)))
+            if nc > 1:
+                epi_in.append(_expand_matrix(nc, co, x.dtype))
+                epi_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            return nc
+
+        def push_bias(b_):
+            epi_in.append(b_.reshape(1, -1).astype(x.dtype))
+            epi_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+        nc = noise.shape[-1] if noise is not None else 0
+        stage2 = ((noise2.shape[-1] if noise2 is not None else 0,
+                   bias2 is not None, act2) if has_stage2 else None)
+        epi = (out_scale is not None, nc, bias is not None, act,
+               len(post_add), stage2)
+        if out_scale is not None:
+            epi_in.append(out_scale.astype(x.dtype)[:, None, :])
+            epi_specs.append(pl.BlockSpec((1, 1, co),
+                                          lambda bb, ih: (bb, 0, 0)))
+        if noise is not None:
+            push_nz(noise)
+        if bias is not None:
+            push_bias(bias)
+        for p in post_add:
+            epi_in.append(p.astype(x.dtype))
+            epi_specs.append(pl.BlockSpec((1, h_t, ow, co),
+                                          lambda bb, ih: (bb, ih, 0, 0)))
+        if has_stage2:
+            if noise2 is not None:
+                push_nz(noise2)
+            if bias2 is not None:
+                push_bias(bias2)
+
     return pl.pallas_call(
         functools.partial(_conv_kernel, h_t=h_t, kh=kh, kw=kw, ow=ow, co=co,
-                          has_isc=has_isc, pads=pads_k, xoff=xoff),
+                          has_isc=has_isc, pads=pads_k, xoff=xoff, epi=epi),
         out_shape=jax.ShapeDtypeStruct((b, oh, ow, co), x.dtype),
         grid=(b, oh // h_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 1, isc.shape[-1]),
-                               lambda bb, ih: (bb, 0, 0))],
+                               lambda bb, ih: (bb, 0, 0))] + epi_specs,
         out_specs=pl.BlockSpec((1, h_t, ow, co),
                                lambda bb, ih: (bb, ih, 0, 0)),
         scratch_shapes=[
@@ -215,7 +322,7 @@ def _conv_pallas(x, w, pads, in_scale=None, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xin, w.astype(x.dtype), isc)
+    )(xin, w.astype(x.dtype), isc, *epi_in)
 
 
 def _scaled_ref(x, w, in_scale, pads):
@@ -270,3 +377,166 @@ def conv2d_dense(x: jnp.ndarray, w: jnp.ndarray, pads,
     if interpret or _use_pallas(x, w):
         return _conv_vjp(x, w, in_scale, pads, interpret)
     return _scaled_ref(x, w, in_scale, pads)
+
+
+# ---------------------------------------------------------------------------
+# fused conv + styled epilogue
+# ---------------------------------------------------------------------------
+
+
+def _epi_ref(z, out_scale, noise, bias, act, post_add=(),
+             noise2=None, bias2=None, act2=False):
+    """XLA composition of the epilogue on a conv output z (fallback +
+    the exactness oracle for tests): demod scale + noise + bias + lrelu,
+    post-activation adds (the RestoreNet skip fusion), then an optional
+    second noise/bias/lrelu stage (the SMART tail)."""
+    from vspbfr_tpu.ops.pallas_epilogue import epilogue_ref
+    out = epilogue_ref(z, out_scale, noise, bias, act)
+    for p in post_add:
+        out = out + p
+    if noise2 is not None or bias2 is not None or act2:
+        out = epilogue_ref(out, None, noise2, bias2, act2)
+    return out
+
+
+def _unact(y, act):
+    """Invert lrelu*sqrt2 elementwise (sign-preserving)."""
+    return (jnp.where(y >= 0, y, y / 0.2) / _SQRT2) if act else y
+
+
+def _nz_term(nz, co):
+    """The noise contribution as a (B, H, W, co)-broadcastable tensor."""
+    from vspbfr_tpu.ops.pallas_epilogue import _expand_matrix
+    if nz.shape[-1] == 1:
+        return nz, None
+    m = _expand_matrix(nz.shape[-1], co, nz.dtype)
+    return nz @ m, m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _convepi_vjp(x, w, in_scale, out_scale, noise, bias, post_add,
+                 noise2, bias2, pads, act, act2, interpret):
+    return _conv_pallas(x, w, pads, in_scale, interpret,
+                        out_scale=out_scale, noise=noise, bias=bias,
+                        act=act, post_add=post_add, noise2=noise2,
+                        bias2=bias2, act2=act2,
+                        has_stage2=(noise2 is not None or bias2 is not None
+                                    or act2),
+                        fuse_epi=True)
+
+
+def _convepi_fwd(x, w, in_scale, out_scale, noise, bias, post_add,
+                 noise2, bias2, pads, act, act2, interpret):
+    y = _convepi_vjp(x, w, in_scale, out_scale, noise, bias, post_add,
+                     noise2, bias2, pads, act, act2, interpret)
+    return y, (x, w, in_scale, out_scale, noise, bias, post_add,
+               noise2, bias2, y)
+
+
+def _convepi_bwd(pads, act, act2, interpret, res, g):
+    """Exact gradients without re-running the conv: every pre-activation
+    value is recovered elementwise from the saved output y (lrelu is
+    sign-preserving and invertible), so z = (u - noise - bias) / out_scale
+    supplies the demod-scale gradient and the conv's bwd runs on
+    du * out_scale via the same Pallas fast path as any dense conv."""
+    x, w, isc, osc, nz, bias, post_add, nz2, bias2, y = res
+    co = w.shape[3]
+    has2 = nz2 is not None or bias2 is not None or act2
+    assert not (has2 and post_add), "stage2 with post_add unsupported in bwd"
+
+    def slope(v):
+        return jnp.where(v >= 0, jnp.asarray(_SQRT2, g.dtype),
+                         jnp.asarray(0.2 * _SQRT2, g.dtype))
+
+    dnz2 = dbias2 = None
+    if has2:
+        du2 = g * slope(y) if act2 else g
+        if bias2 is not None:
+            dbias2 = jnp.sum(du2.astype(jnp.float32),
+                             axis=(0, 1, 2)).astype(bias2.dtype)
+        if nz2 is not None:
+            if nz2.shape[-1] == 1:
+                dnz2 = jnp.sum(du2, axis=-1, keepdims=True)
+            else:
+                _, m2 = _nz_term(nz2, co)
+                dnz2 = du2 @ m2.T
+        # stage-1 activated value v: invert stage 2 on y
+        u2 = _unact(y, act2)
+        v = u2
+        if nz2 is not None:
+            v = v - _nz_term(nz2, co)[0]
+        if bias2 is not None:
+            v = v - bias2.reshape(1, 1, 1, -1)
+        g1 = du2
+    else:
+        v = y
+        for p in post_add:
+            v = v - p
+        g1 = g
+
+    du = g1 * slope(v) if act else g1
+    dbias = jnp.sum(du.astype(jnp.float32),
+                    axis=(0, 1, 2)).astype(bias.dtype) \
+        if bias is not None else None
+    dnz = None
+    if nz is not None:
+        if nz.shape[-1] == 1:
+            dnz = jnp.sum(du, axis=-1, keepdims=True)
+        else:
+            _, m = _nz_term(nz, co)
+            dnz = du @ m.T
+    if osc is not None:
+        u = _unact(v, act)
+        e = jnp.zeros((), u.dtype)
+        if nz is not None:
+            e = _nz_term(nz, co)[0]
+        if bias is not None:
+            e = e + bias.reshape(1, 1, 1, -1)
+        z = (u - e) / osc[:, None, None, :]
+        dosc = jnp.sum((du * z).astype(jnp.float32),
+                       axis=(1, 2)).astype(osc.dtype)
+        dz = du * osc[:, None, None, :]
+    else:
+        dosc, dz = None, du
+    dx, dw, disc = _conv_bwd(pads, interpret, (x, w, isc), dz)
+    dpost = tuple(g for _ in post_add)
+    return dx, dw, disc, dosc, dnz, dbias, dpost, dnz2, dbias2
+
+
+_convepi_vjp.defvjp(_convepi_fwd, _convepi_bwd)
+
+
+def conv2d_dense_epilogue(x: jnp.ndarray, w: jnp.ndarray, pads,
+                          in_scale: jnp.ndarray | None = None,
+                          out_scale: jnp.ndarray | None = None,
+                          noise: jnp.ndarray | None = None,
+                          bias: jnp.ndarray | None = None,
+                          act: bool = True,
+                          post_add=(),
+                          noise2: jnp.ndarray | None = None,
+                          bias2: jnp.ndarray | None = None,
+                          act2: bool = False,
+                          interpret: bool = False) -> jnp.ndarray:
+    """conv2d_dense with the styled-conv epilogue fused into the store:
+
+        y = lrelu(demod * conv(x * in_scale, w) + noise + bias) * sqrt2
+            + sum(post_add)
+        y = lrelu(y + noise2 + bias2) * sqrt2      # optional second stage
+
+    noise: (B, oh, ow, nc) ALREADY scaled by the injection weight; nc = 4
+    packed phases (expanded onto phase-major channels in-register) or 1.
+    post_add: extra tensors of the output shape added after activation
+    (the RestoreNet decoder's `+ enc_feat + de_feat` skip fusion,
+    `models/RestoreNet.py:1029-1035`); mutually exclusive with the second
+    stage (the SMART tail, `models/RestoreNet.py:226-238`). All pieces
+    optional; exact custom VJP (R1-compatible), XLA fallback off-TPU or
+    at unaligned shapes.
+    """
+    pads = tuple((int(a), int(b)) for a, b in pads)
+    post_add = tuple(post_add)
+    if interpret or _use_pallas(x, w):
+        return _convepi_vjp(x, w, in_scale, out_scale, noise, bias,
+                            post_add, noise2, bias2, pads, act, act2,
+                            interpret)
+    return _epi_ref(_scaled_ref(x, w, in_scale, pads), out_scale, noise,
+                    bias, act, post_add, noise2, bias2, act2)

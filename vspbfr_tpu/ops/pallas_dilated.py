@@ -118,8 +118,8 @@ def _pick_ht(oh, kpad2, wpi, ci, ow, co_total, ncols_max, itemsize) -> int:
     return 1
 
 
-def _multi_kernel(*refs, h_t, kpad2, ow, co_total, plan, has_isc, pads,
-                  xoff=0):
+def _multi_kernel(*refs, h_t, kpad2, ow, co_total, plan, has_isc, has_osc,
+                  pads, xoff=0):
     import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -128,9 +128,10 @@ def _multi_kernel(*refs, h_t, kpad2, ow, co_total, plan, has_isc, pads,
     x_hbm = refs[0]
     w_refs = refs[1:1 + n_rows]
     isc_ref = refs[1 + n_rows]
-    o_ref = refs[2 + n_rows]
-    xs_ref = refs[3 + n_rows]
-    sem = refs[4 + n_rows]
+    osc_ref = refs[2 + n_rows] if has_osc else None
+    o_ref = refs[2 + n_rows + int(has_osc)]
+    xs_ref = refs[3 + n_rows + int(has_osc)]
+    sem = refs[4 + n_rows + int(has_osc)]
 
     bb = pl.program_id(0)
     ih = pl.program_id(1)
@@ -166,11 +167,18 @@ def _multi_kernel(*refs, h_t, kpad2, ow, co_total, plan, has_isc, pads,
     # bottleneck anyway: the grouped d4|d8 kernel runs ~137 TF/s on issued
     # FLOPs — its real waste is the 4x block-diagonal densification.
     for out_base, seg in segs.items():
+        if has_osc:
+            # per-(batch, out-channel) demod scale folded into the store
+            # (saves the consumer's full out*demod HBM pass)
+            seg = seg * osc_ref[
+                0, :, out_base:out_base + widths[out_base]].astype(
+                jnp.float32)
         o_ref[0, :, :, out_base:out_base + widths[out_base]] = (
             seg.astype(o_ref.dtype))
 
 
-def _multi_pallas(x, ws, in_scale, dils, groups, interpret=False):
+def _multi_pallas(x, ws, in_scale, out_scale, dils, groups,
+                  interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -205,17 +213,24 @@ def _multi_pallas(x, ws, in_scale, dils, groups, interpret=False):
                           (pad, wpi - wd - pad), (0, 0)))
 
     has_isc = in_scale is not None
+    has_osc = out_scale is not None
     isc = (in_scale if has_isc else jnp.ones((b, 1))).astype(x.dtype)
     isc = isc[:, None, :]
+    osc_in, osc_specs = [], []
+    if has_osc:
+        osc_in = [out_scale.astype(x.dtype)[:, None, :]]
+        osc_specs = [pl.BlockSpec((1, 1, co_total),
+                                  lambda bb, ih: (bb, 0, 0))]
     return pl.pallas_call(
         functools.partial(_multi_kernel, h_t=h_t, kpad2=kpad2, ow=wd,
                           co_total=co_total, plan=plan, has_isc=has_isc,
-                          pads=pads_k, xoff=xoff),
+                          has_osc=has_osc, pads=pads_k, xoff=xoff),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, co_total), x.dtype),
         grid=(b, h // h_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mats)
-        + [pl.BlockSpec((1, 1, isc.shape[-1]), lambda bb, ih: (bb, 0, 0))],
+        + [pl.BlockSpec((1, 1, isc.shape[-1]), lambda bb, ih: (bb, 0, 0))]
+        + osc_specs,
         out_specs=pl.BlockSpec((1, h_t, wd, co_total),
                                lambda bb, ih: (bb, ih, 0, 0)),
         scratch_shapes=[
@@ -225,7 +240,7 @@ def _multi_pallas(x, ws, in_scale, dils, groups, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xin, *mats, isc)
+    )(xin, *mats, isc, *osc_in)
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +250,7 @@ def _multi_pallas(x, ws, in_scale, dils, groups, interpret=False):
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _multi_ref(x, ws, in_scale, dils, groups):
+def _multi_ref(x, ws, in_scale, out_scale, dils, groups):
     """The grouped/dense dilated convs this kernel replaces — shared
     per-group weights tiled along Co (`ops/packed.py conv2d_packed`)."""
     xs = x if in_scale is None else x * in_scale[:, None, None, :]
@@ -247,30 +262,41 @@ def _multi_ref(x, ws, in_scale, dils, groups):
             rhs_dilation=(d, d), dimension_numbers=_DN,
             feature_group_count=groups)
 
-    return jnp.concatenate([one(w, d) for w, d in zip(ws, dils)], axis=-1)
+    out = jnp.concatenate([one(w, d) for w, d in zip(ws, dils)], axis=-1)
+    if out_scale is not None:
+        out = out * out_scale[:, None, None, :].astype(out.dtype)
+    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _multi_vjp(x, ws, in_scale, dils, groups, interpret=False):
-    return _multi_pallas(x, ws, in_scale, dils, groups, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _multi_vjp(x, ws, in_scale, out_scale, dils, groups, interpret=False):
+    return _multi_pallas(x, ws, in_scale, out_scale, dils, groups,
+                         interpret)
 
 
-def _multi_fwd(x, ws, in_scale, dils, groups, interpret=False):
-    return (_multi_vjp(x, ws, in_scale, dils, groups, interpret),
-            (x, ws, in_scale))
+def _multi_fwd(x, ws, in_scale, out_scale, dils, groups, interpret=False):
+    return (_multi_vjp(x, ws, in_scale, out_scale, dils, groups, interpret),
+            (x, ws, in_scale, out_scale))
 
 
 def _multi_bwd(dils, groups, interpret, res, g):
-    x, ws, in_scale = res
-    if in_scale is None:
-        _, vjp = jax.vjp(
-            lambda x_, ws_: _multi_ref(x_, ws_, None, dils, groups), x, ws)
-        dx, dws = vjp(g)
-        return dx, dws, None
-    _, vjp = jax.vjp(
-        lambda x_, ws_, s_: _multi_ref(x_, ws_, s_, dils, groups),
-        x, ws, in_scale)
-    return vjp(g)
+    x, ws, in_scale, out_scale = res
+    diff = [x, ws] + ([in_scale] if in_scale is not None else []) \
+        + ([out_scale] if out_scale is not None else [])
+
+    def ref(*args):
+        it = iter(args)
+        return _multi_ref(next(it), next(it),
+                          next(it) if in_scale is not None else None,
+                          next(it) if out_scale is not None else None,
+                          dils, groups)
+
+    _, vjp = jax.vjp(ref, *diff)
+    grads = list(vjp(g))
+    dx, dws = grads.pop(0), grads.pop(0)
+    disc = grads.pop(0) if in_scale is not None else None
+    dosc = grads.pop(0) if out_scale is not None else None
+    return dx, dws, disc, dosc
 
 
 _multi_vjp.defvjp(_multi_fwd, _multi_bwd)
@@ -278,6 +304,7 @@ _multi_vjp.defvjp(_multi_fwd, _multi_bwd)
 
 def dilated_multi_conv(x: jnp.ndarray, ws, dils, groups: int = 1,
                        in_scale: jnp.ndarray | None = None,
+                       out_scale: jnp.ndarray | None = None,
                        interpret: bool = False) -> jnp.ndarray:
     """Parallel 3x3 'same' dilated convs over the SAME input, outputs
     channel-concatenated: concat_i(conv(x, ws[i], dils[i])).
@@ -286,6 +313,8 @@ def dilated_multi_conv(x: jnp.ndarray, ws, dils, groups: int = 1,
     SHARED across groups (grouped output is phase-major (g, c), matching
     `ops/packed.py` even-dilation lowering). in_scale: optional (B, Ci)
     per-sample input scale (the modulated-conv style multiply).
+    out_scale: optional (B, sum(Co_i)*groups) per-sample output scale
+    (the demod coefficients) folded into the stores.
 
     Dispatches to the Pallas multi-dilation kernel when profitable
     (TPU, 128-aligned Ci, enough pixels), else XLA.
@@ -300,18 +329,20 @@ def dilated_multi_conv(x: jnp.ndarray, ws, dils, groups: int = 1,
               and ci % 128 == 0 and b * h * wd >= 32768
               and h % 2 == 0))
     if not ok:
-        return _multi_ref(x, ws, in_scale, dils, groups)
-    return _multi_vjp(x, ws, in_scale, dils, groups, interpret)
+        return _multi_ref(x, ws, in_scale, out_scale, dils, groups)
+    return _multi_vjp(x, ws, in_scale, out_scale, dils, groups, interpret)
 
 
 def dilated_pair_conv(x: jnp.ndarray, wa: jnp.ndarray, wb: jnp.ndarray,
                       dil_a: int, dil_b: int, groups: int = 1,
                       in_scale: jnp.ndarray | None = None,
+                      out_scale: jnp.ndarray | None = None,
                       interpret: bool = False) -> jnp.ndarray:
     """Two-conv convenience wrapper over `dilated_multi_conv`."""
     return dilated_multi_conv(x, (wa, wb), (dil_a, dil_b), groups,
-                              in_scale=in_scale, interpret=interpret)
+                              in_scale=in_scale, out_scale=out_scale,
+                              interpret=interpret)
 
 
 def _pair_ref(x, wa, wb, in_scale, dil_a, dil_b, groups):
-    return _multi_ref(x, (wa, wb), in_scale, (dil_a, dil_b), groups)
+    return _multi_ref(x, (wa, wb), in_scale, None, (dil_a, dil_b), groups)

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--percept_loss_weight", type=float, default=0.1)
     p.add_argument("--id_loss_weight", type=float, default=0.1)
     p.add_argument("--timesteps", type=int, default=4)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step; batch is the "
+                        "per-device OPTIMIZER batch (e.g. --batch 16 "
+                        "--grad_accum 2 runs 2x8 per device — the "
+                        "reference's per-GPU 16 on a 16GB chip)")
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--psp_ckpt", type=str, default=None)
     p.add_argument("--lpips_ckpt", type=str, default=None,
@@ -97,7 +102,8 @@ def main(argv=None) -> None:
     cfg = DiffuserTrainConfig(
         size=args.size, batch=args.batch, lr=args.lr,
         percept_weight=args.percept_loss_weight,
-        id_weight=args.id_loss_weight, timesteps=args.timesteps)
+        id_weight=args.id_loss_weight, timesteps=args.timesteps,
+        grad_accum=args.grad_accum)
     pipe = RestorationPipeline(size=args.size, timesteps=args.timesteps,
                                decoder_size=args.decoder_size,
                                packed_min_res=args.packed_min_res)

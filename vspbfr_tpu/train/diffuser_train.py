@@ -46,6 +46,14 @@ class DiffuserTrainConfig:
     kd_temperature: float = 0.15
     timesteps: int = 4
     remat: bool = True  # rematerialize per-step denoiser + decode forwards
+    # gradient accumulation: split each step's batch into `grad_accum`
+    # sequential microbatches and average their grads before the one Adam
+    # update. The reference's per-GPU batch 16 (`code_diffuser_train.py:
+    # 251-253`) needs ~37GB of decoder activations — beyond a 16GB v5e
+    # chip — so the reference-equivalent per-chip batch runs as b8 x 2.
+    # Every stage-2 loss term is a mean, so mean-of-microbatch-grads is
+    # exactly the full-batch gradient (no sum-reduced term to rescale).
+    grad_accum: int = 1
 
 
 class DiffuserTrainer:
@@ -73,6 +81,52 @@ class DiffuserTrainer:
 
     def train_step(self, state: TrainState, frozen: Any, low: jnp.ndarray,
                    real: jnp.ndarray, rng: jax.Array):
+        cfg = self.cfg
+        if cfg.grad_accum > 1:
+            return self._train_step_accum(state, frozen, low, real, rng)
+        loss, metrics, grads = self._loss_and_grads(state.params, frozen,
+                                                    low, real, rng)
+        state = state.apply_gradients(grads)
+        metrics["loss"] = loss
+        return state, metrics
+
+    def _train_step_accum(self, state: TrainState, frozen: Any,
+                          low: jnp.ndarray, real: jnp.ndarray,
+                          rng: jax.Array):
+        """One optimizer update from `grad_accum` sequential microbatches.
+
+        The batch axis splits evenly; grads/metrics are averaged (all loss
+        terms are means over the batch, so this equals the full-batch step
+        up to fp reduction order). lax.scan keeps ONE microbatch of
+        activations live at a time — the reference-equivalent global batch
+        at a fraction of the activation memory."""
+        a = self.cfg.grad_accum
+        b = low.shape[0]
+        assert b % a == 0, f"batch {b} not divisible by grad_accum {a}"
+        mb = b // a
+        lows = low.reshape(a, mb, *low.shape[1:])
+        reals = real.reshape(a, mb, *real.shape[1:])
+        keys = jax.random.split(rng, a)
+
+        def body(carry, xs):
+            low_i, real_i, k_i = xs
+            loss, metrics, grads = self._loss_and_grads(
+                state.params, frozen, low_i, real_i, k_i)
+            acc_loss, acc_m, acc_g = carry
+            acc_g = jax.tree.map(lambda u, v: u + v / a, acc_g, grads)
+            acc_m = jax.tree.map(lambda u, v: u + v / a, acc_m, metrics)
+            return (acc_loss + loss / a, acc_m, acc_g), None
+
+        zero_g = jax.tree.map(jnp.zeros_like, state.params)
+        zero_m = {k: jnp.zeros(()) for k in ("l1", "kl", "percept", "id")}
+        (loss, metrics, grads), _ = jax.lax.scan(
+            body, (jnp.zeros(()), zero_m, zero_g), (lows, reals, keys))
+        state = state.apply_gradients(grads)
+        metrics["loss"] = loss
+        return state, metrics
+
+    def _loss_and_grads(self, params, frozen: Any, low: jnp.ndarray,
+                        real: jnp.ndarray, rng: jax.Array):
         cfg = self.cfg
         k_noise, k_dec = jax.random.split(rng)
         psp = self.pipe.psp
@@ -106,10 +160,8 @@ class DiffuserTrainer:
                           "id": ident}
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        state = state.apply_gradients(grads)
-        metrics["loss"] = loss
-        return state, metrics
+            params)
+        return loss, metrics, grads
 
     def jit_step(self, mesh=None):
         step = functools.partial(self.train_step)

@@ -498,12 +498,23 @@ def bench_stage3(flush, out, compute_dtype, key_name):
 
 
 def bench_loader(stage3_step_ms: float | None):
-    """Sustained loader imgs/s (RestoreTrainDataset n_degraded=2 at 512px,
-    native C++ engine when built) vs device demand — SURVEY.md §7 flags the
-    two-per-sample 512px degradation chains (`dataset.py:302-303`) as a
-    starvation risk. Demand anchor: the measured stage-3 steady step time
-    (section 2), batch 4/chip. scripts/bench_loader.py is the standalone
-    version with per-phase breakdown."""
+    """Input-pipeline feed rate vs device demand (SURVEY.md §7 starvation
+    risk). Three rows:
+
+      host:   the all-CPU chain (native C++ engine) at the stage-3 default
+              n_degraded=1 (the reference computes a second chain it never
+              consumes, `dataset.py:302-303` vs `restoration_train.py:160`),
+              with a worker-scaling curve up to the core count;
+      host_n2: the strict-fidelity n_degraded=2 rate (one point);
+      device_offload: the TPU-offloaded loader (data/device_degrade.py) —
+              host does image decode + small-size JPEG only; blur/resize/
+              noise ride the chip. Sustained rate is measured with the lq
+              flush INCLUDED (single-chip device time counted), so it is a
+              conservative bound for an 8-chip host where the degradation
+              shards across chips.
+
+    feeds_8chip_host = best measured rate >= demand, demand = 32 imgs /
+    stage-3 steady step."""
     import numpy as np
     from PIL import Image
     import tempfile
@@ -521,33 +532,91 @@ def bench_loader(stage3_step_ms: float | None):
                                            Image.Resampling.BILINEAR)
         img.save(os.path.join(d, f"{i:04d}.jpg"), quality=92)
 
-    ds = RestoreTrainDataset(root=d, im_size=(size, size), n_degraded=2)
-    workers = min(8, os.cpu_count() or 1)
-    dl = DataLoader(ds, batch_size=batch, num_workers=workers, prefetch=4)
-    it = dl.forever()
-    next(it)  # warm: thread spin-up, native lib load
-    t0 = time.perf_counter()
-    n = 0
-    nb = 12 if not SMOKE else 4
-    for _ in range(nb):
-        n += next(it)[-1].shape[0]
-    rate = n / (time.perf_counter() - t0)
     cores = os.cpu_count() or 1
-    per_worker = rate / min(workers, cores)
-    out = {
-        "engine": "native-c++" if ds._native is not None else "numpy",
-        "n_degraded": 2, "workers": workers, "cores": cores,
-        "sustained_imgs_per_sec": round(rate, 2),
-        "imgs_per_sec_per_worker": round(per_worker, 2),
+    nb = 12 if not SMOKE else 4
+    out = {"cores": cores}
+
+    def host_rate(n_deg, workers):
+        ds = RestoreTrainDataset(root=d, im_size=(size, size),
+                                 n_degraded=n_deg)
+        dl = DataLoader(ds, batch_size=batch, num_workers=workers,
+                        prefetch=4)
+        it = dl.forever()
+        next(it)  # warm: thread spin-up, native lib load
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(nb):
+            n += next(it)[-1].shape[0]
+        return n / (time.perf_counter() - t0), ds._native is not None
+
+    # host chain, n_degraded=1, worker curve (threads release the GIL in
+    # the native engine; scaling is core-bound on this host)
+    curve = {}
+    native = True
+    for w in sorted({1, 2, min(4, cores), min(8, cores)}):
+        r, native = host_rate(1, w)
+        curve[str(w)] = round(r, 2)
+        _log(f"loader host n1 w{w}: {r:.1f} imgs/s")
+    best_host = max(curve.values())
+    out["host"] = {
+        "engine": "native-c++" if native else "numpy",
+        "n_degraded": 1, "workers_curve": curve,
+        "sustained_imgs_per_sec": best_host,
     }
+    r2, _ = host_rate(2, min(2, cores))
+    out["host_n2"] = {"n_degraded": 2, "sustained_imgs_per_sec": round(r2, 2)}
+    _log(f"loader host n2: {r2:.1f} imgs/s")
+
+    # device-offloaded loader
+    best = best_host
+    try:
+        from vspbfr_tpu.data.device_degrade import DeviceDegradeLoader
+        ds = RestoreTrainDataset(root=d, im_size=(size, size), n_degraded=1)
+        dl = DeviceDegradeLoader(ds, batch, num_workers=min(4, cores),
+                                 lookahead=2)
+        it = dl.forever()
+        lq, _ = next(it)  # warm: stage A/B compiles + thread spin-up
+        np.asarray(lq)
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(nb):
+            lq, gt = next(it)
+            np.asarray(jnp.sum(lq))  # count the device work (conservative)
+            n += gt.shape[0]
+        dev_rate = n / (time.perf_counter() - t0)
+        # device stage cost alone (stage A + stage B on a ready batch)
+        gt01 = (np.asarray(gt, np.float32) + 1.0) / 2.0
+        from vspbfr_tpu.data.device_degrade import sample_params
+        p = sample_params(np.random.default_rng(0), gt01.shape[0], size,
+                          ds.config)
+        seeds = np.arange(gt01.shape[0], dtype=np.uint32)
+        small = np.asarray(dl.dd.stage_a(gt01, p, seeds))  # warm
+        t0 = time.perf_counter()
+        reps = 4
+        for _ in range(reps):
+            small_d = dl.dd.stage_a(gt01, p, seeds)
+            lq_d = dl.dd.stage_b(small, p)
+        np.asarray(jnp.sum(lq_d) + jnp.sum(small_d))
+        dev_ms = (time.perf_counter() - t0) / reps / gt01.shape[0] * 1e3
+        out["device_offload"] = {
+            "sustained_imgs_per_sec": round(dev_rate, 2),
+            "device_ms_per_img": round(dev_ms, 2),
+            "note": "sustained rate includes single-chip device time; "
+                    "on an N-chip host the device stages shard",
+        }
+        _log(f"loader device-offload: {dev_rate:.1f} imgs/s "
+             f"({dev_ms:.2f} device-ms/img)")
+        best = max(best, dev_rate)
+    except Exception as e:  # noqa: BLE001
+        out["device_offload"] = {"error": str(e)[:200]}
+        _log(f"device-offload loader failed: {type(e).__name__}: {e}")
+
+    out["sustained_imgs_per_sec"] = round(best, 2)
     if stage3_step_ms:
         # demand for an 8-chip host at the reference's batch-4/chip config
         demand = 4 * 8 / (stage3_step_ms / 1e3)
         out["device_demand_imgs_per_sec_8chip_host"] = round(demand, 2)
-        out["workers_needed_8chip_host"] = int(np.ceil(demand / per_worker))
-        out["feeds_8chip_host"] = bool(rate >= demand)
-    _log(f"loader: {rate:.1f} imgs/s sustained ({workers} workers, "
-         f"{out['engine']})")
+        out["feeds_8chip_host"] = bool(best >= demand)
     return out
 
 

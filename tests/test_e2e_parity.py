@@ -55,8 +55,34 @@ def _zero_noise_gains(module):
                 p.zero_()
 
 
-def _build_e2e(tmp, zero_noise: bool):
+def tame_(module, seed: int = 0):
+    """Spectrally tame randomized weights: every >=2-d weight rescaled to
+    spectral norm 0.8 (reshaped (out, -1)), 1-d params shrunk to 0.05x,
+    BN stats neutralized. Random weights have per-stage Jacobian gains of
+    ~10x which amplify legitimate 2e-3 cross-framework fp noise into 0.2
+    full-chain error (PARITY.md); trained checkpoints are spectrally tame,
+    and taming the synthetic ones makes the full-chain composition test a
+    real assertion instead of a vacuous one (VERDICT r3 #7)."""
+    randomize_(module, seed=seed, scale=0.5)
+    with torch.no_grad():
+        for name, p in module.named_parameters():
+            if p.ndim >= 2:
+                m = p.reshape(p.shape[0], -1)
+                s = torch.linalg.matrix_norm(m, 2)
+                p.mul_(0.8 / (s + 1e-8))
+            else:
+                p.mul_(0.1)
+        for name, b in module.named_buffers():
+            if "running_var" in name:
+                b.fill_(1.0)
+            elif "running_mean" in name:
+                b.zero_()
+
+
+def _build_e2e(tmp, zero_noise: bool, tamed: bool = False):
     ref = load_reference_modules()
+    init_ = (lambda mod, seed: tame_(mod, seed)) if tamed else \
+        (lambda mod, seed: randomize_(mod, seed=seed))
 
     # ---- synthesize style_encoder_decoder.pt in the released layout
     opts = types.SimpleNamespace(stylegan_size=DEC_SIZE, input_channel=3,
@@ -67,9 +93,12 @@ def _build_e2e(tmp, zero_noise: bool):
     # the default 0.5 (real checkpoints are spectrally tame; random ones
     # are not) — 0.05 keeps the W+ codes at O(1) like a trained encoder
     te = ref.psp_encoders.Encoder4Editing(50, "ir_se", opts).eval()
-    randomize_(te, seed=1, scale=0.05)
+    if tamed:
+        tame_(te, seed=1)
+    else:
+        randomize_(te, seed=1, scale=0.05)
     tg = ref.stylegan2.Generator(DEC_SIZE, 512, 8, channel_multiplier=2).eval()
-    randomize_(tg, seed=2)
+    init_(tg, 2)
     if zero_noise:
         _zero_noise_gains(tg)
     n_latent = 2 * int(math.log2(DEC_SIZE)) - 2
@@ -93,13 +122,13 @@ def _build_e2e(tmp, zero_noise: bool):
                                       use_generator=True)
 
     tden = ref.code_diffuser.Code_diffuser(timesteps=4).eval()
-    randomize_(tden, seed=4)
+    init_(tden, 4)
     tddpm = ref.ddpm.My_DDPM(denoise=tden, linear_start=0.1,
                              linear_end=0.99, timesteps=4).eval()
 
     tnet = ref.restorenet.Restoration_net(OUT_SIZE, 512, 8,
                                           channel_multiplier=2).eval()
-    randomize_(tnet, seed=5)
+    init_(tnet, 5)
     if zero_noise:
         _zero_noise_gains(tnet)
 
@@ -332,3 +361,60 @@ def test_full_pipeline_restore_smoke(e2e, rng):
     assert sample.shape == (2, OUT_SIZE, OUT_SIZE, 3)
     assert np.isfinite(np.asarray(out)).all()
     assert np.isfinite(np.asarray(sample)).all()
+
+
+@pytest.fixture(scope="module")
+def e2e_tamed(tmp_path_factory):
+    """Spectrally-tamed synthetic weights (released file layout intact) —
+    per-stage Jacobian gains ~<=1, so the FULL-CHAIN composition can be
+    asserted at a meaningful tolerance (VERDICT r3 #7)."""
+    return _build_e2e(str(tmp_path_factory.mktemp("ckpt_t")),
+                      zero_noise=True, tamed=True)
+
+
+def test_full_chain_tamed(e2e_tamed, rng):
+    """Full pipeline, each framework's own upstream end to end — encoder,
+    4-step DDPM, frozen decode, RestoreNet — asserted at 1e-2 of the
+    output range (the round-3 bound was 0.1x and only meaningful as a
+    glue smoke test)."""
+    e2e = e2e_tamed
+    b = 2
+    low = (rng.standard_normal((b, 3, OUT_SIZE, OUT_SIZE)) * 0.4).astype(
+        np.float32).clip(-1, 1)
+    init_noise = rng.standard_normal(
+        (b, e2e.pipe.psp.n_latent, 512)).astype(np.float32)
+    z = rng.standard_normal((b, 512)).astype(np.float32)
+
+    low_t = torch.from_numpy(low)
+    with torch.no_grad():
+        latent_t = e2e.emb.get_w_plus(low_t)
+        pre_t = _torch_ddpm_chain(e2e.tddpm, torch.from_numpy(init_noise),
+                                  latent_t)
+        sample_t, feats_t = e2e.emb.get_stylegan_feats(pre_t)
+        restored_t = e2e.tnet(low_t, feats_t, pre_t, [torch.from_numpy(z)])
+
+    low_j = jnp.asarray(low.transpose(0, 2, 3, 1))
+    psp_p = e2e.params["psp"]
+    latent_j = e2e.pipe.psp.get_w_plus(psp_p, low_j)
+    clean_j = e2e.pipe.ddpm(e2e.params["diffuser"]).sample(
+        latent_j, jnp.asarray(init_noise))
+    sample_j, feats_j = e2e.pipe.psp.decode_with_feats(
+        psp_p, clean_j, noise_rng=jax.random.key(1))
+    noise_latent = e2e.pipe.generator.apply(
+        {"params": e2e.params["generator"]}, jnp.asarray(z[None]), None,
+        method=type(e2e.pipe.generator).map_styles)
+    restored_j = e2e.pipe.generator.apply(
+        {"params": e2e.params["generator"]}, low_j, feats_j, clean_j,
+        noise_latent, input_is_latent=True, deterministic=True,
+        rngs={"noise": jax.random.key(2)})
+
+    ref_img = restored_t.numpy().transpose(0, 2, 3, 1)
+    rng_span = max(float(ref_img.max() - ref_img.min()), 1e-3)
+    err = np.abs(np.asarray(restored_j) - ref_img)
+    assert float(err.mean()) <= 1e-2 * rng_span, (err.mean(), rng_span)
+    assert float(np.quantile(err, 0.999)) <= 5e-2 * rng_span, (
+        np.quantile(err, 0.999), rng_span)
+
+    # intermediate sanity: tamed weights keep every stage at O(1)
+    for x in (latent_j, clean_j, sample_j):
+        assert np.isfinite(np.asarray(x)).all()

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--percept_loss_weight", type=float, default=0.1)
     p.add_argument("--id_loss_weight", type=float, default=0.1)
     p.add_argument("--timesteps", type=int, default=4)
+    p.add_argument("--loader", choices=("auto", "device", "host"),
+                   default="auto",
+                   help="'device' offloads the degradation chain's dense "
+                        "math to the TPU (data/device_degrade.py); 'host' "
+                        "runs it on CPU; 'auto' = device on TPU backends")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="microbatches per optimizer step; batch is the "
                         "per-device OPTIMIZER batch (e.g. --batch 16 "
@@ -149,9 +154,17 @@ def main(argv=None) -> None:
                              n_degraded=1, quantize_gt=True, gray_prob=None,
                              seed=args.seed,
                              subset=400 if args.debug else None)
-    loader = DataLoader(ds, global_batch, seed=args.seed,
-                        shard_index=jax.process_index(),
-                        shard_count=jax.process_count())
+    if args.loader == "device" or (args.loader == "auto"
+                                   and jax.default_backend() != "cpu"):
+        from vspbfr_tpu.data.device_degrade import DeviceDegradeLoader
+        loader = DeviceDegradeLoader(ds, global_batch, quantize_gt=True,
+                                     gray_prob=0.0, seed=args.seed,
+                                     shard_index=jax.process_index(),
+                                     shard_count=jax.process_count())
+    else:
+        loader = DataLoader(ds, global_batch, seed=args.seed,
+                            shard_index=jax.process_index(),
+                            shard_count=jax.process_count())
     # rank-0-only observability + persistence, like the reference's
     # `get_rank() == 0` gates (`code_diffuser_train.py:205,214,233`)
     is_lead = jax.process_index() == 0

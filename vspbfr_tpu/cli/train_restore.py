@@ -38,6 +38,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d_reg_every", type=int, default=16)
     p.add_argument("--g_reg_every", type=int, default=4)
     p.add_argument("--mixing", type=float, default=0.5)
+    p.add_argument("--n_degraded", type=int, default=1, choices=(1, 2),
+                   help="degradation chains per sample. The reference "
+                        "computes 2 but CONSUMES only the first "
+                        "(`dataset.py:302-303` vs `restoration_train.py:"
+                        "160`) — default 1 skips the dead chain (~2x host "
+                        "CPU); pass 2 for strict loader fidelity")
+    p.add_argument("--loader", choices=("auto", "device", "host"),
+                   default="auto",
+                   help="'device' offloads blur/resize/noise to the TPU "
+                        "(data/device_degrade.py), leaving the host only "
+                        "image decode + small-size JPEG; 'host' runs the "
+                        "full chain on CPU (native C++ engine when built); "
+                        "'auto' = device on TPU backends")
     p.add_argument("--percept_loss_weight", type=float, default=0.5)
     p.add_argument("--id_loss_weight", type=float, default=0.1)
     p.add_argument("--augment", action="store_true")
@@ -168,11 +181,20 @@ def main(argv=None) -> None:
 
     step = trainer.jit_step(mesh)
     sample_fn = jax.jit(lambda p, low, rng: pipe.restore(p, low, rng))
+    use_device_loader = (args.loader == "device"
+                         or (args.loader == "auto"
+                             and jax.default_backend() != "cpu"))
     ds = RestoreTrainDataset(args.path, im_size=(args.size, args.size),
-                             n_degraded=2, seed=args.seed)
-    loader = DataLoader(ds, global_batch, seed=args.seed,
-                        shard_index=jax.process_index(),
-                        shard_count=jax.process_count())
+                             n_degraded=args.n_degraded, seed=args.seed)
+    if use_device_loader:
+        from vspbfr_tpu.data.device_degrade import DeviceDegradeLoader
+        loader = DeviceDegradeLoader(ds, global_batch, seed=args.seed,
+                                     shard_index=jax.process_index(),
+                                     shard_count=jax.process_count())
+    else:
+        loader = DataLoader(ds, global_batch, seed=args.seed,
+                            shard_index=jax.process_index(),
+                            shard_count=jax.process_count())
     # rank-0-only observability + persistence, like the reference's
     # `get_rank() == 0` gates (`restoration_train.py:258,278,291`)
     is_lead = jax.process_index() == 0
@@ -188,7 +210,9 @@ def main(argv=None) -> None:
     for batch in loader.forever(start_epoch, start_batch):
         if it >= args.iter or stop.requested:
             break
-        lq1, _, gt = batch
+        # host loader: (lq1[, lq2], gt); device loader: (lq, gt). Only
+        # lq1 + gt are consumed either way (`restoration_train.py:160`).
+        lq1, gt = batch[0], batch[-1]
         lq1, gt = dp.shard_batch((jnp.asarray(lq1), jnp.asarray(gt)))
         key, sub = jax.random.split(key)
         if args.augment:

@@ -404,6 +404,21 @@ def _unact(y, act):
     return (jnp.where(y >= 0, y, y / 0.2) / _SQRT2) if act else y
 
 
+def fused_epi_enabled() -> bool:
+    """A/B switch for the in-store styled epilogue. DEFAULT OFF — a
+    twice-measured rejection: the fused store wins its microbenchmark
+    (one dispatch replaces conv + epilogue passes, exp_conv_epi.py) but
+    LOSES at the product graph level, round 1 ("XLA fuses the whole
+    demod+noise+bias+lrelu chain into one 639 GB/s pass") and again
+    round 4 (exp_epi_ab.py on v5e: e2e b4 70.0 ms fused vs 59.6 ms
+    two-pass; decode prefix 19.1 vs 16.6; stage-3 train step 741 vs
+    ~646 ms) — forcing every consumer through the Pallas store removes
+    XLA's freedom to schedule/fuse the epilogue with its neighbors and
+    the extra VMEM streams (noise, post_add skips) shrink the conv's
+    tiles. VSPBFR_FUSED_EPI=1 re-enables for experiments."""
+    return os.environ.get("VSPBFR_FUSED_EPI", "0") == "1"
+
+
 def _nz_term(nz, co):
     """The noise contribution as a (B, H, W, co)-broadcastable tensor."""
     from vspbfr_tpu.ops.pallas_epilogue import _expand_matrix
@@ -534,6 +549,14 @@ def conv2d_dense_epilogue(x: jnp.ndarray, w: jnp.ndarray, pads,
     """
     pads = tuple((int(a), int(b)) for a, b in pads)
     post_add = tuple(post_add)
+    if not (interpret or fused_epi_enabled()):
+        # two-pass default: Pallas conv + XLA-fused epilogue chain (the
+        # round-1 shipped form; see fused_epi_enabled for the measured
+        # rejection). interpret=True always runs the fused kernel so the
+        # golden tests keep covering it.
+        return _epi_ref(conv2d_dense(x, w, pads, in_scale=in_scale),
+                        out_scale, noise, bias, act, post_add, noise2,
+                        bias2, act2)
     if interpret or _use_pallas(x, w):
         return _convepi_vjp(x, w, in_scale, out_scale, noise, bias,
                             post_add, noise2, bias2, pads, act, act2,

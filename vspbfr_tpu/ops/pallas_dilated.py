@@ -319,7 +319,7 @@ def dilated_multi_conv(x: jnp.ndarray, ws, dils, groups: int = 1,
     Dispatches to the Pallas multi-dilation kernel when profitable
     (TPU, 128-aligned Ci, enough pixels), else XLA.
     """
-    from vspbfr_tpu.ops.pallas_conv import _pallas_enabled
+    from vspbfr_tpu.ops.pallas_conv import _pallas_enabled, fused_epi_enabled
 
     ws = tuple(ws)
     dils = tuple(int(d) for d in dils)
@@ -330,6 +330,11 @@ def dilated_multi_conv(x: jnp.ndarray, ws, dils, groups: int = 1,
               and h % 2 == 0))
     if not ok:
         return _multi_ref(x, ws, in_scale, out_scale, dils, groups)
+    if out_scale is not None and not (interpret or fused_epi_enabled()):
+        # two-pass default: demod multiply as a separate XLA pass (see
+        # pallas_conv.fused_epi_enabled for the measured rejection)
+        out = _multi_vjp(x, ws, in_scale, None, dils, groups, interpret)
+        return out * out_scale[:, None, None, :].astype(out.dtype)
     return _multi_vjp(x, ws, in_scale, out_scale, dils, groups, interpret)
 
 

@@ -41,6 +41,8 @@ def main():
     import jax.numpy as jnp
     from vspbfr_tpu.data.degradations import DegradationConfig
     from vspbfr_tpu.data.device_degrade import (DeviceDegrader, blur_batch,
+                                                blur_batch_separable,
+                                                factor_kernels,
                                                 resize_bilinear_dynamic,
                                                 sample_params)
     from vspbfr_tpu.utils.runtime import enable_compilation_cache
@@ -61,6 +63,12 @@ def main():
 
         f_blur = jax.jit(blur_batch)
         t_blur = timeit(lambda i: f_blur(gt_j, ker_j))
+        u, v, rank = factor_kernels(np.asarray(p.kernels))
+        u_j, v_j = jnp.asarray(u), jnp.asarray(v)
+        f_sep = jax.jit(blur_batch_separable)
+        t_sep = timeit(lambda i: f_sep(gt_j, u_j, v_j))
+        print(f"b={b}: blur grouped {t_blur*1e3:7.2f}  "
+              f"separable(r{rank}) {t_sep*1e3:7.2f} ms", flush=True)
 
         def down(x, dh, dw):
             def one(img, h_, w_):

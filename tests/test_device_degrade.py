@@ -209,3 +209,27 @@ def test_device_degrade_loader_pipeline(rng, tmp_path):
                 assert np.allclose(gt[i, ..., 0], gt[i, ..., 2], atol=1e-6)
                 found = True
     assert found, "gray_prob=0.5 over 6 samples should hit at least once"
+
+
+def test_separable_blur_matches_full(rng):
+    """SVD-separable banded-matmul blur == full-kernel conv == cv2, at the
+    WORST-case anisotropy of the default config (sigma 10 vs 0.1, rotated
+    45 deg — the highest-rank Gaussian a 41x41 grid can see)."""
+    from vspbfr_tpu.data.degradations import bivariate_gaussian_kernel
+    from vspbfr_tpu.data.device_degrade import (blur_batch_separable,
+                                                factor_kernels)
+
+    gt = make_gt(rng, b=2, size=96)
+    k1 = bivariate_gaussian_kernel(41, 10.0, 0.1, np.pi / 4,
+                                   isotropic=False)
+    k2 = bivariate_gaussian_kernel(41, 0.1, 10.0, -np.pi / 3,
+                                   isotropic=False)
+    kernels = np.stack([k1, k2])
+    u, v, rank = factor_kernels(kernels)
+    assert rank == 41, rank  # needle kernels need the exact bucket
+    out = np.asarray(blur_batch_separable(jnp.asarray(gt), jnp.asarray(u),
+                                          jnp.asarray(v)))
+    for i in range(2):
+        ref = cv2.filter2D(gt[i], -1, kernels[i],
+                           borderType=cv2.BORDER_REFLECT_101)
+        np.testing.assert_allclose(out[i], ref, atol=5e-6)

@@ -109,6 +109,67 @@ def sample_params(rng: np.random.Generator, batch: int, size: int,
 # device ops
 # ---------------------------------------------------------------------------
 
+# static rank buckets: the einsum cost is rank-linear, and one bucket =
+# one compile. Isotropic / mildly anisotropic Gaussians sit in the first
+# bucket; rotated needle kernels (sigma_min << 1 px) are near-diagonal
+# ridges with rank up to K and land in the last (exact) bucket.
+_RANK_BUCKETS = (12, 24, 41)
+
+
+def factor_kernels(kernels: np.ndarray, tol: float = 1e-7):
+    """Host-side SVD factorization of (B, K, K) blur kernels into
+    separable column/row taps: k_b == sum_i u[b,:,i] v[b,:,i]^T exactly
+    at full rank. Returns (u, v, rank) with u, v (B, K, rank) truncated
+    to the smallest bucket whose residual singular value is < tol for
+    every sample (last bucket = exact)."""
+    b, k, _ = kernels.shape
+    u = np.zeros((b, k, k), np.float32)
+    v = np.zeros((b, k, k), np.float32)
+    need = 1
+    for i in range(b):
+        uu, ss, vt = np.linalg.svd(kernels[i].astype(np.float64))
+        u[i] = (uu * ss).astype(np.float32)
+        v[i] = vt.T.astype(np.float32)
+        need = max(need, int(np.sum(ss >= tol)))
+    rank = next((r for r in _RANK_BUCKETS if r >= min(need, k)), k)
+    rank = min(rank, k)
+    return u[:, :, :rank], v[:, :, :rank], rank
+
+
+def _banded(taps: jnp.ndarray, n_out: int, n_in: int) -> jnp.ndarray:
+    """Toeplitz band matrix M[j, w] = taps[w - j] (0 <= w-j < K) from
+    (..., K) taps, via the pad/tile/reshape trick — no gathers, no
+    K-term masked sums. Requires n_in + 1 - K >= n_out (holds for 'valid'
+    convs: n_in = n_out + K - 1)."""
+    k = taps.shape[-1]
+    assert n_in + 1 - k >= n_out
+    lead = taps.shape[:-1]
+    row = jnp.concatenate(
+        [taps, jnp.zeros(lead + (n_in + 1 - k,), taps.dtype)], axis=-1)
+    t = jnp.tile(row, (1,) * len(lead) + (n_out,))
+    return t[..., : n_out * n_in].reshape(lead + (n_out, n_in))
+
+
+def blur_batch_separable(x: jnp.ndarray, u: jnp.ndarray,
+                         v: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample 2D FIR via the SVD-separable form, REFLECT_101 border:
+    y_b = sum_i Bcol(u_bi) @ x_pad @ Brow(v_bi)^T — banded matmuls that
+    ride the MXU. Mathematically identical to `blur_batch` up to the
+    host-side SVD truncation (< 1e-7 for the Gaussian families).
+
+    x: (B, H, W, C); u, v: (B, K, R)."""
+    b, h, w, c = x.shape
+    k = u.shape[1]
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+    # (B, R, out, in) band operators from the column/row taps
+    by = _banded(jnp.swapaxes(u, 1, 2), h, h + 2 * p)
+    bx = _banded(jnp.swapaxes(v, 1, 2), w, w + 2 * p)
+    # contract H then W, summing ranks: XLA picks the schedule
+    return jnp.einsum("brhH,bHWc,brwW->bhwc", by, xp, bx,
+                      optimize=True)
+
+
 def blur_batch(x: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     """Per-sample 2D FIR, REFLECT_101 border (cv2.filter2D semantics:
     cross-correlation with the center anchor — XLA convs are also
@@ -148,21 +209,32 @@ def _resize_axis_weights(out_px: int, src_px, dst_px):
     return i0, i1, w
 
 
+def _resize_axis_matrix(out_px: int, in_px: int, src_px, dst_px):
+    """The bilinear interpolation operator for one axis as a DENSE
+    (out_px, in_px) matrix R with R[j, i0(j)] = 1-w(j), R[j, i1(j)] = w(j)
+    — built from traced sizes via iota equality, so the resize applies as
+    a plain matmul on the MXU instead of dynamic gathers (measured: the
+    gather form lowered pathologically on TPU, BENCH r4 258 ms/img)."""
+    i0, i1, w = _resize_axis_weights(out_px, src_px, dst_px)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out_px, in_px), 1)
+    m0 = (cols == i0[:, None]).astype(jnp.float32) * (1.0 - w)[:, None]
+    m1 = (cols == i1[:, None]).astype(jnp.float32) * w[:, None]
+    return m0 + m1
+
+
 def resize_bilinear_dynamic(x: jnp.ndarray, src_h, src_w, dst_h, dst_w,
                             out_px: int) -> jnp.ndarray:
     """Bilinear resize of the valid (src_h, src_w) region of a static
     (H, W, C) buffer onto the valid (dst_h, dst_w) region of a static
-    (out_px, out_px, C) buffer. All four sizes may be traced scalars; the
-    gather grid is static. Matches cv2.resize INTER_LINEAR up to its
-    11-bit fixed-point coefficients."""
-    y0, y1, wy = _resize_axis_weights(out_px, src_h, dst_h)
-    x0, x1, wx = _resize_axis_weights(out_px, src_w, dst_w)
-    r0 = jnp.take(x, y0, axis=0)
-    r1 = jnp.take(x, y1, axis=0)
-    rows = r0 * (1.0 - wy)[:, None, None] + r1 * wy[:, None, None]
-    c0 = jnp.take(rows, x0, axis=1)
-    c1 = jnp.take(rows, x1, axis=1)
-    return c0 * (1.0 - wx)[None, :, None] + c1 * wx[None, :, None]
+    (out_px, out_px, C) buffer: out = R_y @ x @ R_x^T as two matmuls.
+    All four sizes may be traced scalars; rows/cols beyond the valid
+    output region interpolate clamped border pixels (finite, ignored by
+    consumers). Matches cv2.resize INTER_LINEAR up to its 11-bit
+    fixed-point coefficients."""
+    ry = _resize_axis_matrix(out_px, x.shape[0], src_h, dst_h)
+    rx = _resize_axis_matrix(out_px, x.shape[1], src_w, dst_w)
+    rows = jnp.einsum("oi,iwc->owc", ry, x)
+    return jnp.einsum("pw,owc->opc", rx, rows)
 
 
 def _quantize_u8(x: jnp.ndarray) -> jnp.ndarray:
@@ -188,9 +260,7 @@ class DeviceDegrader:
         # static downscale buffer: ceil of the largest downscaled size
         self.buf = int(np.ceil(size / cfg.downsample_range[0]))
 
-        @jax.jit
-        def stage_a(gt, kernels, alpha, dh, dw, sigma, seeds):
-            x = blur_batch(gt, kernels)
+        def _stage_a_body(x, alpha, dh, dw, sigma, seeds):
             x = x * alpha[:, None, None, None] \
                 + (1.0 - alpha)[:, None, None, None]
 
@@ -212,6 +282,18 @@ class DeviceDegrader:
             return _quantize_u8(x)
 
         @jax.jit
+        def stage_a_sep(gt, u, v, alpha, dh, dw, sigma, seeds):
+            # separable banded-matmul blur (MXU path, default)
+            return _stage_a_body(blur_batch_separable(gt, u, v), alpha,
+                                 dh, dw, sigma, seeds)
+
+        @jax.jit
+        def stage_a_full(gt, kernels, alpha, dh, dw, sigma, seeds):
+            # full-kernel grouped conv (exotic high-rank kernels, tests)
+            return _stage_a_body(blur_batch(gt, kernels), alpha, dh, dw,
+                                 sigma, seeds)
+
+        @jax.jit
         def stage_b(small_u8, dh, dw, gray):
             x = small_u8.astype(jnp.float32) / 255.0
 
@@ -229,7 +311,8 @@ class DeviceDegrader:
             g = jnp.broadcast_to(g, x.shape)
             return jnp.where(gray[:, None, None, None], g, x)
 
-        self._stage_a = stage_a
+        self._stage_a_sep = stage_a_sep
+        self._stage_a_full = stage_a_full
         self._stage_b = stage_b
 
     # -- public stages ------------------------------------------------------
@@ -238,11 +321,16 @@ class DeviceDegrader:
                 seeds: np.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) f32 [0,1] GT -> (B, buf, buf, 3) u8 downscaled+noised
         (valid region (dh, dw) per sample). seeds: (B,) uint32 per-sample
-        noise seeds."""
-        return self._stage_a(jnp.asarray(gt), jnp.asarray(p.kernels),
-                             jnp.asarray(p.alpha), jnp.asarray(p.dh),
-                             jnp.asarray(p.dw), jnp.asarray(p.sigma),
-                             jnp.asarray(seeds, jnp.uint32))
+        noise seeds.
+
+        The blur runs in the SVD-separable banded-matmul form (MXU);
+        the host-side SVD picks the smallest exact rank bucket, so the
+        factorization is lossless (last bucket = full rank)."""
+        rest = (jnp.asarray(p.alpha), jnp.asarray(p.dh), jnp.asarray(p.dw),
+                jnp.asarray(p.sigma), jnp.asarray(seeds, jnp.uint32))
+        u, v, _ = factor_kernels(np.asarray(p.kernels))
+        return self._stage_a_sep(jnp.asarray(gt), jnp.asarray(u),
+                                 jnp.asarray(v), *rest)
 
     def host_jpeg(self, small_u8: np.ndarray, p: DegradeParams) -> np.ndarray:
         """JPEG round-trip per sample at the true downscaled size — the one

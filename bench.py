@@ -262,8 +262,13 @@ def main() -> None:
     # ---- 6. host input-pipeline feed rate ----------------------------------
     try:
         if _elapsed() < BUDGET_S:
-            step_ms = (result.get("train", {}).get("stage3", {})
-                       .get("step_ms_steady"))
+            # demand anchor: the FASTEST available training mode (bf16 when
+            # measured) — the loader must keep up with the best step
+            tr = result.get("train", {})
+            steadies = [v.get("step_ms_steady")
+                        for k, v in tr.items()
+                        if isinstance(v, dict) and v.get("step_ms_steady")]
+            step_ms = min(steadies) if steadies else None
             result["loader"] = bench_loader(step_ms)
     except Exception as e:  # noqa: BLE001
         _log(f"loader bench failed: {type(e).__name__}: {e}")
@@ -567,46 +572,78 @@ def bench_loader(stage3_step_ms: float | None):
     out["host_n2"] = {"n_degraded": 2, "sustained_imgs_per_sec": round(r2, 2)}
     _log(f"loader host n2: {r2:.1f} imgs/s")
 
-    # device-offloaded loader
+    # device-offloaded loader: the WHOLE chain (incl. the JPEG round-trip
+    # core, data/device_jpeg.py) is one device dispatch per batch; the
+    # host keeps image decode + param sampling only, and the single
+    # interconnect transfer is the u8 GT upload the train step needs
+    # anyway (lq and gt come back device-resident).
     best = best_host
     try:
-        from vspbfr_tpu.data.device_degrade import DeviceDegradeLoader
+        from vspbfr_tpu.data.device_degrade import (DeviceDegradeLoader,
+                                                    _GTView, sample_params)
         ds = RestoreTrainDataset(root=d, im_size=(size, size), n_degraded=1)
         dl = DeviceDegradeLoader(ds, batch, num_workers=min(4, cores),
                                  lookahead=2)
         it = dl.forever()
-        lq, _ = next(it)  # warm: stage A/B compiles + thread spin-up
+        lq, _ = next(it)  # warm: chain compile + thread spin-up
         np.asarray(lq)
         t0 = time.perf_counter()
         n = 0
         for _ in range(nb):
             lq, gt = next(it)
-            np.asarray(jnp.sum(lq))  # count the device work (conservative)
+            np.asarray(jnp.sum(lq) + jnp.sum(gt))  # full completion
             n += gt.shape[0]
         dev_rate = n / (time.perf_counter() - t0)
-        # device stage cost alone (stage A + stage B on a ready batch)
-        gt01 = (np.asarray(gt, np.float32) + 1.0) / 2.0
-        from vspbfr_tpu.data.device_degrade import sample_params
-        p = sample_params(np.random.default_rng(0), gt01.shape[0], size,
-                          ds.config)
-        seeds = np.arange(gt01.shape[0], dtype=np.uint32)
-        small = np.asarray(dl.dd.stage_a(gt01, p, seeds))  # warm
+
+        # itemize: host-side sample cost (decode + params + kernel SVD)
+        view = _GTView(ds)
         t0 = time.perf_counter()
-        reps = 4
+        for i in range(3 * batch):
+            gt_u8, seed = view.sample(i)
+        from vspbfr_tpu.data.device_degrade import factor_kernels
+        p = sample_params(np.random.default_rng(0), batch, size, ds.config)
+        factor_kernels(p.kernels)
+        host_ms = (time.perf_counter() - t0) / (3 * batch) * 1e3
+
+        # device compute alone: chained dispatches on a RESIDENT gt (no
+        # upload) — what an N-chip host pays per chip / N
+        gt_res = jnp.asarray(np.stack([view.sample(i)[0]
+                                       for i in range(batch)]))
+        seeds = np.arange(batch, dtype=np.uint32)
+        reps = 6
+        dl.dd.degrade_batch_device(gt_res, p, seeds)  # warm
+        t0 = time.perf_counter()
         for _ in range(reps):
-            small_d = dl.dd.stage_a(gt01, p, seeds)
-            lq_d = dl.dd.stage_b(small, p)
-        np.asarray(jnp.sum(lq_d) + jnp.sum(small_d))
-        dev_ms = (time.perf_counter() - t0) / reps / gt01.shape[0] * 1e3
+            lq_d, gt_d = dl.dd.degrade_batch_device(gt_res, p, seeds)
+        np.asarray(jnp.sum(lq_d) + jnp.sum(gt_d))
+        dev_ms = (time.perf_counter() - t0) / reps / batch * 1e3
+
+        # interconnect: bytes/img (u8 upload) + measured bandwidth of
+        # this environment (tunneled TPU here; PCIe on a real host)
+        up = np.zeros((batch, size, size, 3), np.uint8)
+        jnp.asarray(up).block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(4):
+            h = jnp.asarray(up)
+        np.asarray(jnp.sum(h))
+        bw = 4 * up.nbytes / (time.perf_counter() - t0) / 1e6
         out["device_offload"] = {
             "sustained_imgs_per_sec": round(dev_rate, 2),
-            "device_ms_per_img": round(dev_ms, 2),
-            "note": "sustained rate includes single-chip device time; "
-                    "on an N-chip host the device stages shard",
+            "host_ms_per_img": round(host_ms, 2),
+            "device_compute_ms_per_img": round(dev_ms, 2),
+            "upload_bytes_per_img": int(up.nbytes / batch),
+            "interconnect_mb_per_s_measured": round(bw, 1),
+            "note": "host_ms is the per-core feed constraint; device "
+                    "compute shards across the host's chips; the u8 "
+                    "upload is the batch transfer ANY loader pays and "
+                    "runs at PCIe rates on a non-tunneled host",
         }
-        _log(f"loader device-offload: {dev_rate:.1f} imgs/s "
-             f"({dev_ms:.2f} device-ms/img)")
+        _log(f"loader device-offload: {dev_rate:.1f} imgs/s sustained, "
+             f"host {host_ms:.1f} ms/img, device {dev_ms:.2f} ms/img, "
+             f"link {bw:.0f} MB/s")
         best = max(best, dev_rate)
+        out["device_offload"]["host_rate_imgs_per_sec"] = round(
+            1e3 / host_ms, 1)
     except Exception as e:  # noqa: BLE001
         out["device_offload"] = {"error": str(e)[:200]}
         _log(f"device-offload loader failed: {type(e).__name__}: {e}")
@@ -616,7 +653,20 @@ def bench_loader(stage3_step_ms: float | None):
         # demand for an 8-chip host at the reference's batch-4/chip config
         demand = 4 * 8 / (stage3_step_ms / 1e3)
         out["device_demand_imgs_per_sec_8chip_host"] = round(demand, 2)
-        out["feeds_8chip_host"] = bool(best >= demand)
+        # the production feed constraint: per-core host rate (SURVEY §7's
+        # named risk) and the device compute it schedules; the measured
+        # sustained row above additionally carries THIS environment's
+        # tunneled-interconnect cost, itemized in device_offload
+        do = out.get("device_offload", {})
+        host_rate = do.get("host_rate_imgs_per_sec", 0.0)
+        dev_ms = do.get("device_compute_ms_per_img")
+        dev_rate8 = (8e3 / dev_ms) if dev_ms else 0.0  # sharded over 8 chips
+        cap = min(max(best, host_rate * cores), dev_rate8 or best)
+        out["feeds_8chip_host"] = bool(cap >= demand)
+        out["feeds_note"] = (
+            f"cap=min(host {host_rate}x{cores}core, device-sharded "
+            f"{dev_rate8:.0f}) vs demand {demand:.1f}; measured sustained "
+            f"{best} includes tunnel-link cost itemized above")
     return out
 
 

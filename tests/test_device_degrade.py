@@ -184,14 +184,22 @@ def test_device_degrade_loader_pipeline(rng, tmp_path):
     ds = RestoreTrainDataset(str(tmp_path), im_size=(size, size),
                              config=cfg, use_native=False, seed=5)
 
-    def grab(n):
+    def grab(n, jpeg="device"):
         dl = DeviceDegradeLoader(ds, 2, gray_prob=0.5, num_workers=2,
-                                 seed=5, lookahead=2)
+                                 seed=5, lookahead=2, jpeg=jpeg)
         it = dl.forever()
         return [next(it) for _ in range(n)]
 
     a = grab(3)
     b = grab(3)
+    host = grab(3, jpeg="host")
+    for (lq_a, gt_a), (lq_h, gt_h) in zip(a, host):
+        # host-exact-JPEG path: same params/noise, only the JPEG core
+        # differs by libjpeg's fixed point — distributionally equal
+        d = np.abs(np.asarray(lq_a) - np.asarray(lq_h))
+        assert float(d.mean()) < 2.5 / 255, d.mean()
+        np.testing.assert_allclose(np.asarray(gt_a), np.asarray(gt_h),
+                                   atol=1e-6)
     for (lq_a, gt_a), (lq_b, gt_b) in zip(a, b):
         lq_a, lq_b = np.asarray(lq_a), np.asarray(lq_b)
         assert lq_a.shape == (2, size, size, 3)

@@ -257,8 +257,10 @@ class DeviceDegrader:
                  cfg: DegradationConfig = DegradationConfig()):
         self.size = size
         self.cfg = cfg
-        # static downscale buffer: ceil of the largest downscaled size
+        # static downscale buffer: ceil of the largest downscaled size,
+        # rounded up to the device-JPEG 16x16 MCU grid
         self.buf = int(np.ceil(size / cfg.downsample_range[0]))
+        self.buf += (-self.buf) % 16
 
         def _stage_a_body(x, alpha, dh, dw, sigma, seeds):
             x = x * alpha[:, None, None, None] \
@@ -293,8 +295,7 @@ class DeviceDegrader:
             return _stage_a_body(blur_batch(gt, kernels), alpha, dh, dw,
                                  sigma, seeds)
 
-        @jax.jit
-        def stage_b(small_u8, dh, dw, gray):
+        def _stage_b_body(small_u8, dh, dw, gray):
             x = small_u8.astype(jnp.float32) / 255.0
 
             def up(img, h_, w_):
@@ -311,9 +312,40 @@ class DeviceDegrader:
             g = jnp.broadcast_to(g, x.shape)
             return jnp.where(gray[:, None, None, None], g, x)
 
+        stage_b = jax.jit(_stage_b_body)
+
+        @functools.partial(jax.jit, static_argnums=(11,))
+        def degrade_all(gt_u8, u, v, alpha, dh, dw, sigma, seeds, tl, tc,
+                        gray, quantize_gt):
+            """The WHOLE chain as one device program — blur, downscale,
+            noise, the device JPEG round-trip (device_jpeg.py), resize
+            back, quantize, gray — no host hop at all. Input GT arrives
+            as u8 (lossless: it came from u8 images; 4x smaller on the
+            interconnect); returns (lq, gt) BOTH normalized to [-1, 1]
+            and both device-resident, so the train step needs no second
+            upload."""
+            from vspbfr_tpu.data.device_jpeg import jpeg_roundtrip_batch
+            gt = gt_u8.astype(jnp.float32) / 255.0
+            small = _stage_a_body(blur_batch_separable(gt, u, v), alpha,
+                                  dh, dw, sigma, seeds)
+            jp = jpeg_roundtrip_batch(small, dh, dw, tl, tc)
+            lq01 = _stage_b_body(jp, dh, dw, gray)
+            # gt finishing (`dataset.py:306-315` gray; `:128-132` stage-2
+            # uint8 GT round-trip), same order as the host dataset
+            w = jnp.asarray(_GRAY_W_RGB, jnp.float32)
+            g = jnp.sum(gt * w, axis=-1, keepdims=True)
+            gt = jnp.where(gray[:, None, None, None],
+                           jnp.broadcast_to(g, gt.shape), gt)
+            if quantize_gt:
+                gt = jnp.round(gt * 255.0) / 127.5 - 1.0
+            else:
+                gt = gt * 2.0 - 1.0
+            return lq01 * 2.0 - 1.0, gt
+
         self._stage_a_sep = stage_a_sep
         self._stage_a_full = stage_a_full
         self._stage_b = stage_b
+        self._degrade_all = degrade_all
 
     # -- public stages ------------------------------------------------------
 
@@ -354,6 +386,25 @@ class DeviceDegrader:
         return self._stage_b(jnp.asarray(small_u8), jnp.asarray(p.dh),
                              jnp.asarray(p.dw), jnp.asarray(p.gray))
 
+    def degrade_batch_device(self, gt_u8: np.ndarray | jnp.ndarray,
+                             p: DegradeParams, seeds: np.ndarray,
+                             quantize_gt: bool = False):
+        """The whole chain, ONE device dispatch, device JPEG — zero
+        host<->device round-trips (the tunnel/PCIe hop measured ~43
+        ms/img on this image's tunneled chip, dwarfing the ~1 ms/img of
+        device compute). gt_u8: (B, H, W, 3) uint8. Returns (lq, gt)
+        device arrays in [-1, 1]."""
+        from vspbfr_tpu.data.device_jpeg import quality_tables
+        u, v, _ = factor_kernels(np.asarray(p.kernels))
+        tl = np.stack([quality_tables(int(q))[0] for q in p.quality])
+        tc = np.stack([quality_tables(int(q))[1] for q in p.quality])
+        return self._degrade_all(
+            jnp.asarray(gt_u8), jnp.asarray(u), jnp.asarray(v),
+            jnp.asarray(p.alpha), jnp.asarray(p.dh), jnp.asarray(p.dw),
+            jnp.asarray(p.sigma), jnp.asarray(seeds, jnp.uint32),
+            jnp.asarray(tl), jnp.asarray(tc), jnp.asarray(p.gray),
+            bool(quantize_gt))
+
     # -- whole chain (convenience / tests) ----------------------------------
 
     def degrade_batch(self, gt: np.ndarray, p: DegradeParams,
@@ -371,23 +422,31 @@ class DeviceDegradeLoader:
     are in flight while batch n's small images take their JPEG round-trip
     on the host.
 
-    Yields (lq, gt): lq a DEVICE array (B, H, W, 3) f32 in [-1, 1] — feed
-    it straight to the train step, no host round-trip — and gt host numpy
-    in [-1, 1] (grayed consistently with lq via the per-sample flag,
-    `dataset.py:306-315`; quantize_gt reproduces the stage-2 uint8 GT
-    round-trip, `dataset.py:128-132`)."""
+    Yields (lq, gt), both (B, H, W, 3) f32 in [-1, 1]. With
+    jpeg='device' both are DEVICE arrays from one dispatch — feed them
+    straight to the train step, nothing else crosses the interconnect.
+    gt is grayed consistently with lq via the per-sample flag
+    (`dataset.py:306-315`); quantize_gt reproduces the stage-2 uint8 GT
+    round-trip (`dataset.py:128-132`)."""
 
     def __init__(self, dataset, batch_size: int, *,
                  quantize_gt: bool = False, gray_prob: float = 0.008,
                  num_workers: int = 8, prefetch: int = 4, seed: int = 0,
                  shard_index: int = 0, shard_count: int = 1,
-                 lookahead: int = 2):
+                 lookahead: int = 2, jpeg: str = "device"):
+        """jpeg: 'device' (default) simulates the JPEG round-trip's lossy
+        core on the chip (data/device_jpeg.py — whole chain is ONE device
+        program, no host hop; deviates from libjpeg only by its
+        fixed-point rounding, golden-bounded); 'host' routes the small
+        images through the exact cv2 encoder."""
         from vspbfr_tpu.data.datasets import DataLoader
 
+        assert jpeg in ("device", "host")
         self.ds = dataset
         self.dd = DeviceDegrader(size=dataset.im_size[0], cfg=dataset.config)
         self.gray_prob = gray_prob
         self.quantize_gt = quantize_gt
+        self.jpeg = jpeg
         self.lookahead = max(1, lookahead)
         self.inner = DataLoader(
             _GTView(dataset), batch_size, num_workers=num_workers,
@@ -424,8 +483,27 @@ class DeviceDegradeLoader:
         it = self.inner.forever(start_epoch, start_batch)
         inflight: collections.deque = collections.deque()
 
+        if self.jpeg == "device":
+            # the whole chain is one async device dispatch per batch
+            # (incl. the gt finishing — both outputs device-resident); the
+            # deque depth overlaps host image loading with device compute
+            def submit_dev():
+                gt_u8, seeds = next(it)
+                seeds = np.asarray(seeds, np.uint32)
+                p = self._params(seeds)
+                inflight.append(self.dd.degrade_batch_device(
+                    gt_u8, p, seeds, self.quantize_gt))
+
+            for _ in range(self.lookahead):
+                submit_dev()
+            while True:
+                lq, gt = inflight.popleft()
+                submit_dev()
+                yield lq, gt
+
         def submit():
-            gt, seeds = next(it)
+            gt_u8, seeds = next(it)
+            gt = gt_u8.astype(np.float32) / 255.0
             seeds = np.asarray(seeds, np.uint32)
             p = self._params(seeds)
             small = self.dd.stage_a(gt, p, seeds)
@@ -445,7 +523,7 @@ class DeviceDegradeLoader:
 
 @dataclasses.dataclass
 class _GTView:
-    """GT-only dataset adapter: (gt [0,1] f32, per-sample degrade seed)."""
+    """GT-only dataset adapter: (gt u8 HWC, per-sample degrade seed)."""
 
     ds: Any
 
@@ -461,6 +539,6 @@ class _GTView:
         if rng.integers(0, 2) == 1:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         img = _resize_crop(img, self.ds.im_size, rng)
-        gt = np.asarray(img, dtype=np.float32) / 255.0
+        gt = np.asarray(img, dtype=np.uint8)   # u8: lossless + 4x smaller
         seed = rng.integers(0, np.iinfo(np.uint32).max, dtype=np.uint32)
         return gt, np.uint32(seed)

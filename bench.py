@@ -703,12 +703,14 @@ def stage_split(pipe, params, low, flush, e2e_dt, e2e_flops=None):
             lambda p, x, k, c=cut: pipe.restore(p, x, k, upto=c)).lower(
             params, low, jax.random.key(0)).compile()
         comps[cut] = comp
-        times[cut] = timeit(lambda k, c=comp: c(params, low, k))
+        # tunnel stalls inflate individual chains (r4 saw encode=23.8 and
+        # 15.7 vs a true ~6): time each prefix as the MIN of two
+        # independent chained runs (timings are lower-bounded by truth)
+        times[cut] = min(timeit(lambda k, c=comp: c(params, low, k)),
+                         timeit(lambda k, c=comp: c(params, low, k)))
         flops[cut] = _cost_flops(comp)
         _log(f"prefix {cut}: {times[cut]*1e3:.2f} ms")
-    # tunnel hiccups can corrupt one prefix (r4 saw encode=23.8 > decode
-    # prefix): retry any prefix that breaks monotonicity encode < decode
-    # < e2e, then keep the minimum (timings are lower-bounded by truth)
+    # and retry on residual non-monotonicity (encode < decode < e2e)
     for _ in range(2):
         if times["encode"] < times["decode"] < e2e_dt * 1.05:
             break

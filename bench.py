@@ -327,13 +327,14 @@ def bench_train(flush, out):
                                                  DiffuserTrainer)
     size2 = 256 if not SMOKE else 64
 
-    def try_stage2(b2, accum=1, key_name="stage2"):
+    def try_stage2(b2, accum=1, key_name="stage2", dtype=None):
         # own frame: on exception every device buffer here is dropped
         # with the frame before the next (smaller-batch) attempt
         pipe2 = RestorationPipeline(size=size2, decoder_size=dec)
         trainer2 = DiffuserTrainer(
             DiffuserTrainConfig(size=size2, batch=b2 * accum,
-                                grad_accum=accum), pipe2)
+                                grad_accum=accum, compute_dtype=dtype),
+            pipe2)
         state, frozen2 = jax.jit(trainer2.init_states)(jax.random.key(0))
         low2 = jax.random.uniform(
             jax.random.key(1), (b2 * accum, size2, size2, 3),
@@ -358,20 +359,22 @@ def bench_train(flush, out):
         n = 6
         dt2 = (run2(2 + n) - run2(2)) / n
         fl2 = _cost_flops(c2)
-        cfg_note = (f"b{b2}x{accum}accum/chip {size2}px f32 "
+        dt_name = "bf16+f32-islands" if dtype else "f32"
+        cfg_note = (f"b{b2}x{accum}accum/chip {size2}px {dt_name} "
                     "(reference per-GPU b16, code_diffuser_train.py:249-273)"
                     if accum > 1 else
-                    f"b{b2}/chip {size2}px f32 (reference global b16,"
+                    f"b{b2}/chip {size2}px {dt_name} (reference global b16,"
                     " code_diffuser_train.py:249-273)")
         out[key_name] = {
             "config": cfg_note,
             "step_ms": round(dt2 * 1e3, 1),
             "imgs_per_sec": round(b2 * accum / dt2, 2),
             "flops": fl2,
-            "mfu": (round(fl2 / dt2 / (_peak_flops() / 2), 4)
+            "mfu": (round(fl2 / dt2 / (_peak_flops()
+                                       / (1 if dtype else 2)), 4)
                     if fl2 else None),
         }
-        _log(f"stage2: {dt2*1e3:.1f} ms/step at b{b2}x{accum}")
+        _log(f"{key_name}: {dt2*1e3:.1f} ms/step at b{b2}x{accum}")
 
     done = False
     for b2 in ((8, 4) if not SMOKE else (4,)):
@@ -395,6 +398,18 @@ def bench_train(flush, out):
         except Exception as e:  # noqa: BLE001
             _log(f"stage2 accum failed: {type(e).__name__}: {str(e)[:120]}")
             out["stage2_accum16"] = {"error": str(e)[:200]}
+            del e
+            gc.collect()
+            jax.clear_caches()
+    # bf16 decode island (DiffuserTrainConfig.compute_dtype)
+    if done and _elapsed() < BUDGET_S:
+        try:
+            gc.collect()
+            jax.clear_caches()
+            try_stage2(done, key_name="stage2_bf16", dtype="bfloat16")
+        except Exception as e:  # noqa: BLE001
+            _log(f"stage2 bf16 failed: {type(e).__name__}: {str(e)[:120]}")
+            out["stage2_bf16"] = {"error": str(e)[:200]}
             del e
             gc.collect()
             jax.clear_caches()

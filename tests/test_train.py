@@ -181,3 +181,31 @@ def test_diffuser_grad_accum_matches_manual_average(rng):
                                    rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(float(metrics["loss"]),
                                (float(l0) + float(l1)) / 2.0, rtol=1e-5)
+
+
+def test_diffuser_step_bf16_islands(rng):
+    """Stage-2 mixed precision: bf16 decode island, f32 latent chain —
+    step runs, updates params, metrics finite and close to the f32 run
+    (same keys; the L1 latent term is identical by construction since
+    the latent chain stays f32)."""
+    low = jnp.asarray(rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32))
+    real = jnp.asarray(rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32))
+
+    outs = {}
+    for name, dt in (("f32", None), ("bf16", "bfloat16")):
+        trainer = DiffuserTrainer(
+            DiffuserTrainConfig(size=SIZE, batch=2, id_weight=0.0,
+                                compute_dtype=dt), tiny_pipeline())
+        state, frozen = jax.jit(trainer.init_states)(jax.random.key(0))
+        state, metrics = jax.jit(trainer.train_step)(
+            state, frozen, low, real, jax.random.key(5))
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        outs[name] = (jax.device_get(state.params), metrics)
+
+    # the latent L1 term runs f32 in BOTH configs: bitwise-equal inputs
+    np.testing.assert_allclose(float(outs["f32"][1]["l1"]),
+                               float(outs["bf16"][1]["l1"]), rtol=1e-6)
+    # the percept term goes through the bf16 decode: close, not equal
+    np.testing.assert_allclose(float(outs["f32"][1]["percept"]),
+                               float(outs["bf16"][1]["percept"]),
+                               rtol=0.1)

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--percept_loss_weight", type=float, default=0.1)
     p.add_argument("--id_loss_weight", type=float, default=0.1)
     p.add_argument("--timesteps", type=int, default=4)
+    p.add_argument("--train_dtype", choices=("f32", "bf16"), default="f32",
+                   help="bf16 = mixed precision for the image-space "
+                        "decode fwd/bwd (the step's dominant cost); the "
+                        "latent chain and loss nets stay f32. f32 = the "
+                        "reference's dtype")
     p.add_argument("--loader", choices=("auto", "device", "host"),
                    default="auto",
                    help="'device' offloads the degradation chain's dense "
@@ -108,7 +113,8 @@ def main(argv=None) -> None:
         size=args.size, batch=args.batch, lr=args.lr,
         percept_weight=args.percept_loss_weight,
         id_weight=args.id_loss_weight, timesteps=args.timesteps,
-        grad_accum=args.grad_accum)
+        grad_accum=args.grad_accum,
+        compute_dtype="bfloat16" if args.train_dtype == "bf16" else None)
     pipe = RestorationPipeline(size=args.size, timesteps=args.timesteps,
                                decoder_size=args.decoder_size,
                                packed_min_res=args.packed_min_res)

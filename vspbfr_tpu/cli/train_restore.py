@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d_reg_every", type=int, default=16)
     p.add_argument("--g_reg_every", type=int, default=4)
     p.add_argument("--mixing", type=float, default=0.5)
+    p.add_argument("--train_dtype", choices=("f32", "bf16"), default="f32",
+                   help="bf16 = mixed precision (bf16 G/D compute, f32 "
+                        "params/opt/logits/R1/loss nets; 1.29x step, "
+                        "loss curves within f32 noise — BF16_TRAIN_r4."
+                        "json). f32 = the reference's dtype")
     p.add_argument("--n_degraded", type=int, default=1, choices=(1, 2),
                    help="degradation chains per sample. The reference "
                         "computes 2 but CONSUMES only the first "
@@ -142,7 +147,8 @@ def main(argv=None) -> None:
         percept_weight=args.percept_loss_weight,
         id_weight=args.id_loss_weight, mixing=args.mixing,
         augment=args.augment, ada_target=args.ada_target,
-        ada_length=args.ada_length)
+        ada_length=args.ada_length,
+        compute_dtype="bfloat16" if args.train_dtype == "bf16" else None)
     pipe = RestorationPipeline(size=args.size, mixing_prob=args.mixing,
                                decoder_size=args.decoder_size,
                                packed_min_res=args.packed_min_res)

@@ -54,6 +54,12 @@ class DiffuserTrainConfig:
     # Every stage-2 loss term is a mean, so mean-of-microbatch-grads is
     # exactly the full-batch gradient (no sum-reduced term to rescale).
     grad_accum: int = 1
+    # mixed precision: "bfloat16" runs the image-space decode (the frozen
+    # 1024px StyleGAN2 forward AND its backward — the step's dominant
+    # cost) in bf16. The precision-sensitive latent chain — e4e encodes,
+    # the 4-step DDPM, the L1 target — and the LPIPS/ArcFace loss nets
+    # stay f32 (the stage-3 recipe). None (default) = full f32.
+    compute_dtype: str | None = None
 
 
 class DiffuserTrainer:
@@ -144,7 +150,22 @@ class DiffuserTrainer:
             percept = ident = jnp.zeros(())
             # weight>0 gates match `code_diffuser_train.py:177,:182`
             if cfg.percept_weight > 0 or cfg.id_weight > 0:
-                decode = (lambda p, lat: psp.decode(p, lat, noise_rng=k_dec))
+                dt = (jnp.dtype(cfg.compute_dtype)
+                      if cfg.compute_dtype else None)
+
+                def decode(p, lat):
+                    if dt is not None:
+                        # bf16 island: decoder params + latent cast inside
+                        # the traced fn — grads return f32 through the
+                        # casts; output back to f32 for the loss nets
+                        p = {**p, "decoder": jax.tree.map(
+                            lambda x: x.astype(dt)
+                            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                            p["decoder"])}
+                        lat = lat.astype(dt)
+                    out = psp.decode(p, lat, noise_rng=k_dec)
+                    return out.astype(jnp.float32)
+
                 if cfg.remat:
                     decode = jax.checkpoint(decode)
                 restored = decode(frozen["psp"], pred_latent)  # grads flow through decoder

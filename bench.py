@@ -24,7 +24,10 @@ ResourceExhausted cannot poison the inference measurements):
      512px degradation chains per sample, `dataset.py:302-303`) vs the
      measured device demand from section 5
 
-Prints ONE JSON line. vs_baseline anchors to an ESTIMATED reference
+Prints the full detail JSON on an early line (also written to
+BENCH_DETAIL.json) and a compact headline JSON as the FINAL line — the
+driver's tail capture is finite, and round 4's single grown-too-long line
+shipped unparsed. vs_baseline anchors to an ESTIMATED reference
 throughput of 12 imgs/s (torch 1.12 fp32, A100) — the reference publishes
 no numbers; see BASELINE.md "Estimate derivation". flops/mfu come from the
 compiled executables' cost_analysis so the claim is re-anchorable.
@@ -274,7 +277,47 @@ def main() -> None:
         _log(f"loader bench failed: {type(e).__name__}: {e}")
 
     result["bench_wall_s"] = round(_elapsed(), 1)
-    print(json.dumps(result))
+    emit(result)
+
+
+def emit(result) -> None:
+    """Emit the results in driver-parseable form. BENCH_r04 shipped
+    `parsed: null` because the single detail line outgrew the driver's
+    tail-capture window — so: full detail goes to BENCH_DETAIL.json AND
+    an early stdout line, and the FINAL stdout line is a compact headline
+    (< ~400 bytes) the driver can always parse."""
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:
+        _log(f"detail file write failed: {e}")
+    print(json.dumps(result), flush=True)  # full detail, EARLY line
+
+    compact = {k: result.get(k) for k in (
+        "metric", "value", "unit", "vs_baseline", "batch", "mfu",
+        "latency_ms_b4", "latency_ms_b1", "bf16_vs_f32_psnr_db")}
+    tr = result.get("train", {})
+    for src, dst in (("stage3", "stage3_f32_ms"),
+                     ("stage3_bf16", "stage3_bf16_ms")):
+        row = tr.get(src)
+        if isinstance(row, dict) and row.get("step_ms_steady"):
+            compact[dst] = row["step_ms_steady"]
+    s2 = [v["step_ms"] for k, v in tr.items()
+          if k.startswith("stage2") and isinstance(v, dict)
+          and v.get("step_ms") and v.get("imgs_per_sec")]
+    s2r = [v["imgs_per_sec"] for k, v in tr.items()
+           if k.startswith("stage2") and isinstance(v, dict)
+           and v.get("imgs_per_sec")]
+    if s2r:
+        compact["stage2_best_imgs_per_sec"] = max(s2r)
+    ld = result.get("loader", {})
+    for k in ("feeds_8chip_host", "feeds_8chip_host_projected"):
+        if k in ld:
+            compact[k] = ld[k]
+    compact["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(compact), flush=True)  # FINAL line: always short
 
 
 def bench_train(flush, out):
@@ -413,6 +456,25 @@ def bench_train(flush, out):
             del e
             gc.collect()
             jax.clear_caches()
+    # reference-equivalent optimizer batch 16 in bf16 (VERDICT r4 #5):
+    # first try the plain b16 step — bf16 halves the decoder-activation
+    # residency, so optimizer-batch 16 may fit WITHOUT accumulation;
+    # fall back to the b8 x 2 accumulation form
+    if done and not SMOKE and _elapsed() < BUDGET_S:
+        for b2, accum, name in ((16, 1, "stage2_bf16_b16"),
+                                (8, 2, "stage2_bf16_accum16")):
+            try:
+                gc.collect()
+                jax.clear_caches()
+                try_stage2(b2, accum=accum, key_name=name,
+                           dtype="bfloat16")
+                break  # one optimizer-batch-16 bf16 row is enough
+            except Exception as e:  # noqa: BLE001
+                _log(f"{name} failed: {type(e).__name__}: {str(e)[:120]}")
+                out[name] = {"error": str(e)[:200]}
+                del e
+                gc.collect()
+                jax.clear_caches()
 
 
 def bench_stage3(flush, out, compute_dtype, key_name):
@@ -677,11 +739,18 @@ def bench_loader(stage3_step_ms: float | None):
         dev_ms = do.get("device_compute_ms_per_img")
         dev_rate8 = (8e3 / dev_ms) if dev_ms else 0.0  # sharded over 8 chips
         cap = min(max(best, host_rate * cores), dev_rate8 or best)
-        out["feeds_8chip_host"] = bool(cap >= demand)
+        # measured vs projected kept SEPARATE (round-4 advisor finding):
+        # the boolean headline is what this box actually sustained; the
+        # host_rate*cores / device-sharded capacity model is a projection
+        # for a real (multi-core, PCIe-attached) 8-chip host and says so.
+        out["feeds_8chip_host"] = bool(best >= demand)
+        out["feeds_8chip_host_projected"] = bool(cap >= demand)
         out["feeds_note"] = (
+            f"measured sustained {best} (includes this box's tunnel-link "
+            f"cost, itemized above) vs demand {demand:.1f}; projected "
             f"cap=min(host {host_rate}x{cores}core, device-sharded "
-            f"{dev_rate8:.0f}) vs demand {demand:.1f}; measured sustained "
-            f"{best} includes tunnel-link cost itemized above")
+            f"{dev_rate8:.0f}) assumes linear worker scaling "
+            "(see host.workers_curve) and cross-chip degrade sharding")
     return out
 
 
@@ -781,9 +850,42 @@ def stage_split(pipe, params, low, flush, e2e_dt, e2e_flops=None):
         # per-stage MFU basis for the roofline (ROOFLINE.md): diffed
         # cost_analysis flops over diffed wall-clock
         peak = _peak_flops()
-        split["stage_mfu"] = {
-            c: round(stage_flops[c] / max(split[c], 1e-3) * 1e3 / peak, 4)
-            for c in stage_flops}
+
+        def mfus():
+            return {c: round(stage_flops[c] / max(split[c], 1e-3)
+                             * 1e3 / peak, 4)
+                    for c in stage_flops}
+
+        split["stage_mfu"] = mfus()
+        # sanity gate (round-4 shipped stage_mfu.decode = 2.004 from a
+        # tunnel stall): MFU > 1 is physically impossible — the wall-time
+        # denominator is corrupt. Re-measure the prefixes once (min with
+        # prior, so truth can only improve), recompute the diffs; if still
+        # impossible, mark those rows invalid instead of shipping garbage.
+        for attempt in range(2):
+            bad = [c for c, v in split["stage_mfu"].items()
+                   if v > 1.0 or v < 0.0]
+            if not bad:
+                break
+            if attempt == 0:
+                _log(f"stage MFU sanity gate tripped ({bad}); re-measuring")
+                for cut in cuts:
+                    times[cut] = min(
+                        times[cut],
+                        timeit(lambda k, c=comps[cut]: c(params, low, k)))
+                split["encode"] = round(times["encode"] * 1e3, 2)
+                split["decode"] = round(
+                    max(times["decode"] - times["encode"] - t_ddpm, 0.0)
+                    * 1e3, 2)
+                split["restore"] = round(
+                    max(e2e_dt - times["decode"], 0.0) * 1e3, 2)
+                split["stage_mfu"] = mfus()
+            else:
+                split["invalid_stages"] = bad
+                for c in bad:
+                    split["stage_mfu"][c] = None
+                _log(f"stage rows {bad} marked invalid (MFU out of range "
+                     "after re-measure)")
     return split
 
 

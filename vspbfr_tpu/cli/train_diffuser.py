@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'device' offloads the degradation chain's dense "
                         "math to the TPU (data/device_degrade.py); 'host' "
                         "runs it on CPU; 'auto' = device on TPU backends")
+    p.add_argument("--jpeg", choices=("device", "host"), default="device",
+                   help="with --loader device: 'device' simulates the "
+                        "JPEG lossy core on-chip (data/device_jpeg.py, "
+                        "approx rounding, golden-bounded); 'host' keeps "
+                        "libjpeg-exact compression on CPU while the "
+                        "blur/resize/noise offload stays on the TPU")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="microbatches per optimizer step; batch is the "
                         "per-device OPTIMIZER batch (e.g. --batch 16 "
@@ -163,8 +169,9 @@ def main(argv=None) -> None:
     if args.loader == "device" or (args.loader == "auto"
                                    and jax.default_backend() != "cpu"):
         from vspbfr_tpu.data.device_degrade import DeviceDegradeLoader
-        loader = DeviceDegradeLoader(ds, global_batch, quantize_gt=True,
-                                     gray_prob=0.0, seed=args.seed,
+        # quantize_gt / gray_prob flow from the dataset's own fields
+        loader = DeviceDegradeLoader(ds, global_batch, seed=args.seed,
+                                     jpeg=args.jpeg,
                                      shard_index=jax.process_index(),
                                      shard_count=jax.process_count())
     else:
@@ -176,6 +183,14 @@ def main(argv=None) -> None:
     is_lead = jax.process_index() == 0
     logger = Logger(args.out) if is_lead else None
     ckpt_dir = os.path.join(args.out, "checkpoint", "code_diffuser")
+    if start_iter == 0:
+        # export the (frozen) psp tree this diffuser is trained against,
+        # so stage 3 / inference can consume a CONSISTENT encoder+decoder
+        # (--psp_ckpt): the reference guarantees this by shipping one
+        # style_encoder_decoder.pt used by all stages
+        # (`e4e/models/psp.py:122-143`)
+        save_checkpoint(os.path.join(args.out, "checkpoint", "psp"),
+                        jax.device_get(frozen["psp"]), async_save=True)
 
     from vspbfr_tpu.utils.runtime import GracefulShutdown
     stop = GracefulShutdown()

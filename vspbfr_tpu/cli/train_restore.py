@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "image decode + small-size JPEG; 'host' runs the "
                         "full chain on CPU (native C++ engine when built); "
                         "'auto' = device on TPU backends")
+    p.add_argument("--jpeg", choices=("device", "host"), default="device",
+                   help="with --loader device: 'device' simulates the "
+                        "JPEG lossy core on-chip (data/device_jpeg.py, "
+                        "approx rounding, golden-bounded); 'host' keeps "
+                        "libjpeg-exact compression on CPU while the "
+                        "blur/resize/noise offload stays on the TPU")
     p.add_argument("--percept_loss_weight", type=float, default=0.5)
     p.add_argument("--id_loss_weight", type=float, default=0.1)
     p.add_argument("--augment", action="store_true")
@@ -195,6 +201,7 @@ def main(argv=None) -> None:
     if use_device_loader:
         from vspbfr_tpu.data.device_degrade import DeviceDegradeLoader
         loader = DeviceDegradeLoader(ds, global_batch, seed=args.seed,
+                                     jpeg=args.jpeg,
                                      shard_index=jax.process_index(),
                                      shard_count=jax.process_count())
     else:
@@ -206,6 +213,21 @@ def main(argv=None) -> None:
     is_lead = jax.process_index() == 0
     logger = Logger(args.out) if is_lead else None
     ckpt_dir = os.path.join(args.out, "checkpoint", "restore")
+    # inference-ready export (the reference ships one .pt that
+    # `restoration_test.py:239-250` reads g_ema from; ours is the orbax
+    # tree `cli/infer.py --ckpt` consumes directly: psp + diffuser +
+    # generator/g_ema in the pipeline layout)
+    pipe_dir = os.path.join(args.out, "checkpoint", "restore_pipeline")
+
+    def pipeline_export():
+        return {"psp": frozen["psp"], "diffuser": frozen["diffuser"],
+                "generator": g_state.params, "g_ema": g_ema}
+
+    if start_iter == 0:
+        # init-state export: the baseline `cli/infer.py` comparison point
+        save_checkpoint(os.path.join(args.out, "checkpoint",
+                                     "restore_pipeline_init"),
+                        jax.device_get(pipeline_export()), async_save=True)
 
     from vspbfr_tpu.utils.runtime import GracefulShutdown
     stop = GracefulShutdown()
@@ -267,6 +289,8 @@ def main(argv=None) -> None:
             save_checkpoint(ckpt_dir, jax.device_get(full_ckpt_tree(
                 g_state, d_state, g_ema, ada_state, key, it)),
                 async_save=True)
+            save_checkpoint(pipe_dir, jax.device_get(pipeline_export()),
+                            async_save=True)
     wait_for_saves()
     if stop.requested and is_lead:
         print(f"[shutdown] checkpoint committed at iter {it}", flush=True)

@@ -107,15 +107,24 @@ class RestoreTrainDataset:
     def __len__(self):
         return len(self.files)
 
-    def sample(self, idx: int, epoch: int = 0) -> tuple[np.ndarray, ...]:
-        """Returns (lq_1..lq_n, gt), all (H, W, 3) float32 in [-1, 1]."""
+    def sample_gt(self, idx: int, epoch: int = 0
+                  ) -> tuple[np.ndarray, np.random.Generator]:
+        """The GT-loading prefix shared with the device loader's
+        `_GTView` (same SeedSequence, flip draw, resize/crop order —
+        `dataset.py:264-280`): returns (gt u8 HWC, the rng positioned
+        for the degradation draws)."""
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, idx]))
         img = _load_rgb(self.files[idx % len(self.files)])
         if rng.integers(0, 2) == 1:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         img = _resize_crop(img, self.im_size, rng)
-        gt = np.asarray(img, dtype=np.float32) / 255.0
+        return np.asarray(img, dtype=np.uint8), rng
+
+    def sample(self, idx: int, epoch: int = 0) -> tuple[np.ndarray, ...]:
+        """Returns (lq_1..lq_n, gt), all (H, W, 3) float32 in [-1, 1]."""
+        gt_u8, rng = self.sample_gt(idx, epoch)
+        gt = gt_u8.astype(np.float32) / 255.0
 
         lqs = [self._degrade(rng, gt) for _ in range(self.n_degraded)]
 

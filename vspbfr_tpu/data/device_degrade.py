@@ -430,7 +430,8 @@ class DeviceDegradeLoader:
     round-trip (`dataset.py:128-132`)."""
 
     def __init__(self, dataset, batch_size: int, *,
-                 quantize_gt: bool = False, gray_prob: float = 0.008,
+                 quantize_gt: bool | None = None,
+                 gray_prob: float | None = None,
                  num_workers: int = 8, prefetch: int = 4, seed: int = 0,
                  shard_index: int = 0, shard_count: int = 1,
                  lookahead: int = 2, jpeg: str = "device"):
@@ -438,14 +439,21 @@ class DeviceDegradeLoader:
         core on the chip (data/device_jpeg.py — whole chain is ONE device
         program, no host hop; deviates from libjpeg only by its
         fixed-point rounding, golden-bounded); 'host' routes the small
-        images through the exact cv2 encoder."""
+        images through the exact cv2 encoder.
+
+        quantize_gt / gray_prob default to the wrapped dataset's own
+        values so a non-default dataset cannot silently degrade with
+        loader defaults; pass explicitly to override."""
         from vspbfr_tpu.data.datasets import DataLoader
 
         assert jpeg in ("device", "host")
         self.ds = dataset
         self.dd = DeviceDegrader(size=dataset.im_size[0], cfg=dataset.config)
-        self.gray_prob = gray_prob
-        self.quantize_gt = quantize_gt
+        if gray_prob is None:  # dataset may carry None meaning "off"
+            gray_prob = getattr(dataset, "gray_prob", 0.008)
+        self.gray_prob = float(gray_prob or 0.0)
+        self.quantize_gt = (getattr(dataset, "quantize_gt", False)
+                            if quantize_gt is None else quantize_gt)
         self.jpeg = jpeg
         self.lookahead = max(1, lookahead)
         self.inner = DataLoader(
@@ -531,14 +539,8 @@ class _GTView:
         return len(self.ds)
 
     def sample(self, idx: int, epoch: int = 0):
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.ds.seed, epoch, idx]))
-        from vspbfr_tpu.data.datasets import _load_rgb, _resize_crop
-        from PIL import Image
-        img = _load_rgb(self.ds.files[idx % len(self.ds.files)])
-        if rng.integers(0, 2) == 1:
-            img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        img = _resize_crop(img, self.ds.im_size, rng)
-        gt = np.asarray(img, dtype=np.uint8)   # u8: lossless + 4x smaller
+        # delegate to the dataset's own GT prefix so the device loader's
+        # GT stream can never desynchronize from the host loader's
+        gt, rng = self.ds.sample_gt(idx, epoch)  # u8: lossless + 4x smaller
         seed = rng.integers(0, np.iinfo(np.uint32).max, dtype=np.uint32)
         return gt, np.uint32(seed)

@@ -9,6 +9,8 @@ L1(1, <z_x, z_y>) with the source embedding detached
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -25,36 +27,47 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     project: bool = False
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dt = self.compute_dtype
         out_ch = self.planes * EXPANSION
         identity = x
         if self.project:
             identity = nn.Conv(out_ch, (1, 1), strides=self.stride,
-                               use_bias=False, name="down_conv")(x)
+                               use_bias=False, dtype=dt,
+                               name="down_conv")(x)
             identity = FrozenBatchNorm(out_ch, name="down_bn")(identity)
-        h = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=dt,
+                    name="conv1")(x)
         h = FrozenBatchNorm(self.planes, name="bn1")(h)
         h = nn.relu(h)
         h = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, name="conv2")(h)
+                    use_bias=False, dtype=dt, name="conv2")(h)
         h = FrozenBatchNorm(self.planes, name="bn2")(h)
         h = nn.relu(h)
-        h = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(h)
+        h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=dt,
+                    name="conv3")(h)
         h = FrozenBatchNorm(out_ch, name="bn3")(h)
         return nn.relu(h + identity)
 
 
 class ResNet101Embedder(nn.Module):
-    """torchvision resnet101(num_classes=embed_dim), inference form."""
+    """torchvision resnet101(num_classes=embed_dim), inference form.
+
+    compute_dtype (e.g. bf16) applies to the conv trunk; the global-pool
+    reduction and the fc head stay f32 (mixed-precision islands)."""
 
     embed_dim: int = 256
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="stem_conv")(x)
+                    dtype=self.compute_dtype, name="stem_conv")(x)
         h = FrozenBatchNorm(64, name="stem_bn")(h)
         h = nn.relu(h)
         h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
@@ -66,9 +79,10 @@ class ResNet101Embedder(nn.Module):
                 stride = 2 if (b == 0 and s > 0) else 1
                 project = b == 0 and (stride != 1 or in_planes != planes * EXPANSION)
                 h = Bottleneck(planes, stride, project,
+                               compute_dtype=self.compute_dtype,
                                name=f"layer{s + 1}_{b}")(h)
             in_planes = planes * EXPANSION
-        h = jnp.mean(h, axis=(1, 2))
+        h = jnp.mean(h.astype(jnp.float32), axis=(1, 2))
         return nn.Dense(self.embed_dim, name="fc")(h)
 
 

@@ -12,6 +12,8 @@ Weights (VGG16 conv filters + the v0.1 lin heads from
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -24,14 +26,21 @@ _SCALE = jnp.asarray([0.458, 0.448, 0.450])
 
 
 class VGG16Features(nn.Module):
-    """VGG16 conv trunk returning the 5 LPIPS tap activations (post-ReLU)."""
+    """VGG16 conv trunk returning the 5 LPIPS tap activations (post-ReLU).
+
+    compute_dtype runs the conv stack at that dtype (params stay f32 —
+    flax casts for the computation only); taps return in the input dtype.
+    """
+
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
         taps = []
         for b, (feat, n_convs) in enumerate(VGG16_BLOCKS):
             for c in range(n_convs):
-                x = nn.Conv(feat, (3, 3), padding=1, name=f"conv{b}_{c}")(x)
+                x = nn.Conv(feat, (3, 3), padding=1, name=f"conv{b}_{c}",
+                            dtype=self.compute_dtype)(x)
                 x = nn.relu(x)
             taps.append(x)
             if b < len(VGG16_BLOCKS) - 1:
@@ -45,17 +54,26 @@ class LPIPS(nn.Module):
     Returns per-sample distances (B,). The reference applies `.sum()` /
     `.mean()` at the call sites (`restoration_train.py:236`,
     `code_diffuser_train.py:177`); callers reduce.
+
+    compute_dtype (e.g. bf16) applies to the VGG16 trunk only — the MXU-
+    bound 95% of the FLOPs; the unit-normalize, calibrated lin heads and
+    spatial reductions stay f32 (mixed-precision islands, ROADMAP r4).
     """
+
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        net = VGG16Features(name="vgg")
+        net = VGG16Features(name="vgg", compute_dtype=self.compute_dtype)
 
         def scaled(v):
-            return (v - _SHIFT) / _SCALE
+            v = (v - _SHIFT) / _SCALE
+            if self.compute_dtype is not None:
+                v = v.astype(self.compute_dtype)
+            return v
 
-        fx = net(scaled(x))
-        fy = net(scaled(y))
+        fx = [t.astype(jnp.float32) for t in net(scaled(x))]
+        fy = [t.astype(jnp.float32) for t in net(scaled(y))]
         total = 0.0
         for k, (fx_k, fy_k) in enumerate(zip(fx, fy)):
             def unit(v):

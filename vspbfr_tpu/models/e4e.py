@@ -72,8 +72,10 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
+        # fold stats in f32, apply in the input dtype (a no-op cast for the
+        # f32 e4e body; keeps a bf16 loss-net trunk bf16 end-to-end)
         inv = scale / jnp.sqrt(var + self.eps)
-        return x * inv + (bias - mean * inv)
+        return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
 
 
 class SEModule(nn.Module):

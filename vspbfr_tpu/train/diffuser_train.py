@@ -57,9 +57,12 @@ class DiffuserTrainConfig:
     # mixed precision: "bfloat16" runs the image-space decode (the frozen
     # 1024px StyleGAN2 forward AND its backward — the step's dominant
     # cost) in bf16. The precision-sensitive latent chain — e4e encodes,
-    # the 4-step DDPM, the L1 target — and the LPIPS/ArcFace loss nets
-    # stay f32 (the stage-3 recipe). None (default) = full f32.
+    # the 4-step DDPM, the L1 target — stays f32 bitwise-identical to the
+    # f32 step. None (default) = full f32.
     compute_dtype: str | None = None
+    # bf16 LPIPS/ArcFace conv trunks with f32 heads/reductions (round-5
+    # island, active only with compute_dtype; see losses/lpips.py)
+    bf16_loss_nets: bool = True
 
 
 class DiffuserTrainer:
@@ -68,8 +71,10 @@ class DiffuserTrainer:
         self.cfg = config
         self.pipe = pipeline or RestorationPipeline(
             size=config.size, timesteps=config.timesteps)
-        self.lpips = LPIPS()
-        self.id_net = ResNet101Embedder()
+        ln_dt = (jnp.dtype(config.compute_dtype)
+                 if config.compute_dtype and config.bf16_loss_nets else None)
+        self.lpips = LPIPS(compute_dtype=ln_dt)
+        self.id_net = ResNet101Embedder(compute_dtype=ln_dt)
         self.tx = make_adam(config.lr, config.reg_every)
 
     def init_states(self, key: jax.Array):

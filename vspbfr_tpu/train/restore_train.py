@@ -61,10 +61,19 @@ class RestoreTrainConfig:
     remat: bool = True
     # mixed precision: "bfloat16" runs the G and D FORWARD/BACKWARD compute
     # in bf16 with f32 islands — params, optimizer states, EMA, loss
-    # reductions, D logits, the R1 penalty, and the LPIPS/ArcFace loss nets
-    # all stay f32 (the proven inference recipe, pipeline.compute_dtype).
+    # reductions, D logits, and the R1 penalty accumulation stay f32.
     # None (default) = full f32, the reference's training dtype.
     compute_dtype: str | None = None
+    # round-5 islands (active only with compute_dtype set; each overlay-
+    # gated by scripts/exp_bf16_train.py before its default was chosen):
+    # bf16_embed: the frozen StyleGAN2 decode inside the per-step
+    #   embedding runs bf16 (no grads flow through it — stop_gradient —
+    #   and it is the proven INFERENCE recipe for the same subgraph);
+    #   the e4e encode + DDPM latent chain stay f32 as everywhere else.
+    # bf16_loss_nets: LPIPS-VGG16 / ArcFace conv trunks run bf16 with
+    #   f32 normalize/lin-heads/reductions (losses/lpips.py, id_loss.py).
+    bf16_embed: bool = True
+    bf16_loss_nets: bool = True
 
 
 class RestoreTrainer:
@@ -76,8 +85,10 @@ class RestoreTrainer:
         self.pipe = pipeline or RestorationPipeline(
             size=config.size, mixing_prob=config.mixing)
         self.disc = self.pipe.make_discriminator()
-        self.lpips = LPIPS()
-        self.id_net = ResNet101Embedder()
+        ln_dt = (jnp.dtype(config.compute_dtype)
+                 if config.compute_dtype and config.bf16_loss_nets else None)
+        self.lpips = LPIPS(compute_dtype=ln_dt)
+        self.id_net = ResNet101Embedder(compute_dtype=ln_dt)
         self.g_tx = make_adam(config.lr, config.g_reg_every)
         self.d_tx = make_adam(config.lr, config.d_reg_every)
 
@@ -103,12 +114,21 @@ class RestoreTrainer:
     # -- step ---------------------------------------------------------------
 
     def _frozen_embedding(self, frozen, low, rng):
-        """Shared per-iteration embedding (`restoration_train.py:166-172`)."""
+        """Shared per-iteration embedding (`restoration_train.py:166-172`).
+
+        With compute_dtype + bf16_embed the frozen 1024px decode runs bf16
+        (the inference recipe for the same subgraph; encode + DDPM stay
+        f32 — the W+ latent is the most error-amplified tensor). feats
+        come back bf16; every consumer (_generate) casts anyway."""
         k_diff, k_dec = jax.random.split(rng)
         pipe_params = {"psp": frozen["psp"], "diffuser": frozen["diffuser"]}
         low_latent = self.pipe.psp.get_w_plus(frozen["psp"], low)
         clean = self.pipe.diffuse_latent(pipe_params, low_latent, k_diff)
-        _, feats = self.pipe.psp.decode_with_feats(frozen["psp"], clean,
+        psp_p, lat = frozen["psp"], clean
+        if self._dt is not None and self.cfg.bf16_embed:
+            psp_p = {**psp_p, "decoder": self._cast(psp_p["decoder"])}
+            lat = clean.astype(self._dt)
+        _, feats = self.pipe.psp.decode_with_feats(psp_p, lat,
                                                    noise_rng=k_dec)
         return (jax.lax.stop_gradient(clean),
                 jax.lax.stop_gradient(feats))
@@ -228,6 +248,10 @@ class RestoreTrainer:
             "d": d_loss, "r1": r1_val, "real_score": real_score,
             "fake_score": fake_score,
         }
+        if cfg.augment and ada_state is not None:
+            # per-batch sign mean — the controller's rt signal
+            # (`non_leaking.py:499-504`), logged for trajectory audits
+            d_metrics["ada_rt"] = jnp.mean(jnp.sign(real_pred))
         return d_state, clean, feats, d_metrics, ada_state
 
     def g_phase(self, g_state: TrainState, g_ema: Any, d_params: Any,

@@ -56,9 +56,13 @@ class RestoreTrainConfig:
     augment: bool = False       # ADA, off by default (`:330-333`)
     ada_target: float = 0.6
     ada_length: int = 500 * 1000
-    # rematerialize G/D forwards inside the grads: the 512px step otherwise
-    # exceeds a v5e's 16GB HBM (R1 double-grad + full activation residency)
-    remat: bool = True
+    # rematerialize G/D forwards inside the grads. None = auto: ON in f32
+    # (the 512px step otherwise exceeds a v5e's 16GB HBM — R1 double-grad
+    # + full activation residency), OFF in bf16 (halved activations fit,
+    # and recompute costs a measured 83 ms/step: d 195->164, g 288->236,
+    # scripts/exp_stage3_phases.py r5). Remat changes scheduling only —
+    # same math — so no quality gate is needed beyond the overlay.
+    remat: bool | None = None
     # mixed precision: "bfloat16" runs the G and D FORWARD/BACKWARD compute
     # in bf16 with f32 islands — params, optimizer states, EMA, loss
     # reductions, D logits, and the R1 penalty accumulation stay f32.
@@ -134,6 +138,12 @@ class RestoreTrainer:
                 jax.lax.stop_gradient(feats))
 
     @property
+    def _remat(self):
+        if self.cfg.remat is not None:
+            return self.cfg.remat
+        return self.cfg.compute_dtype is None  # auto: f32 on, bf16 off
+
+    @property
     def _dt(self):
         return (jnp.dtype(self.cfg.compute_dtype)
                 if self.cfg.compute_dtype else None)
@@ -166,7 +176,7 @@ class RestoreTrainer:
                 rngs={"noise": k_noise, "dropout": k_drop})
             return out.astype(jnp.float32)
 
-        if self.cfg.remat:
+        if self._remat:
             fwd = jax.checkpoint(fwd)
         return fwd(g_params, low, feats, clean, noise_latent)
 
@@ -177,7 +187,7 @@ class RestoreTrainer:
             d_params, x = self._cast((d_params, x))
             return self.disc.apply({"params": d_params}, x).astype(
                 jnp.float32)
-        if self.cfg.remat:
+        if self._remat:
             fwd = jax.checkpoint(fwd)
         return fwd(d_params, x)
 

@@ -257,8 +257,11 @@ def _multi_ref(x, ws, in_scale, out_scale, dils, groups):
 
     def one(w, d):
         wg = jnp.concatenate([w] * groups, axis=-1) if groups > 1 else w
+        # xs.dtype, not x.dtype: a mixed-precision caller (bf16 x, f32
+        # modulation scale) promotes xs to f32, and conv requires equal
+        # operand dtypes
         return jax.lax.conv_general_dilated(
-            xs, wg.astype(x.dtype), (1, 1), ((d, d), (d, d)),
+            xs, wg.astype(xs.dtype), (1, 1), ((d, d), (d, d)),
             rhs_dilation=(d, d), dimension_numbers=_DN,
             feature_group_count=groups)
 

@@ -45,7 +45,13 @@ class DiffuserTrainConfig:
     id_weight: float = 0.1
     kd_temperature: float = 0.15
     timesteps: int = 4
-    remat: bool = True  # rematerialize per-step denoiser + decode forwards
+    # rematerialize the decode forward inside the grad. None = auto: ON
+    # in f32 (the 1024px decoder's activations need ~2x the 16GB HBM at
+    # b8 otherwise), OFF in bf16 — measured r5: b8 197.8 -> 154.3 ms,
+    # and the reference-equivalent b16 fits plain at 294.9 ms
+    # (54.3 imgs/s). Pure scheduling change; the f32 latent chain stays
+    # bitwise identical (tests/test_train.py asserts the L1 term equal).
+    remat: bool | None = None
     # gradient accumulation: split each step's batch into `grad_accum`
     # sequential microbatches and average their grads before the one Adam
     # update. The reference's per-GPU batch 16 (`code_diffuser_train.py:
@@ -171,7 +177,9 @@ class DiffuserTrainer:
                     out = psp.decode(p, lat, noise_rng=k_dec)
                     return out.astype(jnp.float32)
 
-                if cfg.remat:
+                do_remat = (cfg.remat if cfg.remat is not None
+                            else cfg.compute_dtype is None)
+                if do_remat:
                     decode = jax.checkpoint(decode)
                 restored = decode(frozen["psp"], pred_latent)  # grads flow through decoder
             if cfg.percept_weight > 0:

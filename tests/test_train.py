@@ -131,6 +131,31 @@ def test_restore_gan_step_with_ada(rng):
     assert float(ada.count) > 0 or float(ada.p) >= 0
 
 
+def test_restore_gan_step_fixed_augment_p(rng):
+    """augment_p > 0 = constant probability, controller OFF
+    (`restoration_train.py:138-141`): the ADA state must not advance and
+    the logged ada_p must be the fixed value."""
+    from vspbfr_tpu.losses.ada import ADAState
+
+    trainer = RestoreTrainer(
+        RestoreTrainConfig(size=SIZE, batch=2, d_reg_every=2,
+                           id_weight=0.0, percept_weight=0.0,
+                           augment=True, augment_p=0.4, ada_length=16),
+        tiny_pipeline())
+    g_state, d_state, g_ema, frozen = jax.jit(trainer.init_states)(
+        jax.random.key(0))
+    ada = ADAState.create()
+    low = jnp.asarray(rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32))
+    real = jnp.asarray(rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32))
+    step = trainer.jit_step()
+    g_state, d_state, g_ema, metrics, ada = step(
+        g_state, d_state, g_ema, frozen, low, real, jax.random.key(0), ada)
+    np.testing.assert_allclose(float(metrics["ada_p"]), 0.4,
+                               rtol=1e-6)
+    assert float(ada.p) == 0.0 and float(ada.count) == 0.0  # controller off
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
 def test_diffuser_grad_accum_matches_manual_average(rng):
     """grad_accum=2 must equal one update from the averaged microbatch
     grads (each microbatch under its own split key) — the reference's

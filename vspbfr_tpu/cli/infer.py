@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, default="eval_out")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--mixing", type=float, default=0.5,
+                   help="latent-mixing probability "
+                        "(`restoration_test.py:214`)")
+    p.add_argument("--channel_multiplier", type=int, default=2,
+                   help="StyleGAN2 channel multiplier (config-f = 2)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--decoder_size", type=int, default=1024,
                    help="frozen StyleGAN2 decoder resolution")
@@ -66,6 +71,8 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     pipe = RestorationPipeline(size=args.size,
                                decoder_size=args.decoder_size,
+                               mixing_prob=args.mixing,
+                               channel_multiplier=args.channel_multiplier,
                                packed_min_res=args.packed_min_res,
                                compute_dtype=jnp.bfloat16 if args.bf16
                                else None)

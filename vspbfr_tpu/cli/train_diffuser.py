@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--percept_loss_weight", type=float, default=0.1)
     p.add_argument("--id_loss_weight", type=float, default=0.1)
     p.add_argument("--timesteps", type=int, default=4)
+    p.add_argument("--channel_multiplier", type=int, default=2,
+                   help="StyleGAN2 channel multiplier (config-f = 2)")
     p.add_argument("--train_dtype", choices=("f32", "bf16"), default="f32",
                    help="bf16 = mixed precision for the image-space "
                         "decode fwd/bwd (the step's dominant cost); the "
@@ -123,6 +125,7 @@ def main(argv=None) -> None:
         compute_dtype="bfloat16" if args.train_dtype == "bf16" else None)
     pipe = RestorationPipeline(size=args.size, timesteps=args.timesteps,
                                decoder_size=args.decoder_size,
+                               channel_multiplier=args.channel_multiplier,
                                packed_min_res=args.packed_min_res)
     trainer = DiffuserTrainer(cfg, pipe)
 

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--percept_loss_weight", type=float, default=0.5)
     p.add_argument("--id_loss_weight", type=float, default=0.1)
     p.add_argument("--augment", action="store_true")
+    p.add_argument("--augment_p", type=float, default=0.0,
+                   help="fixed augmentation probability; 0 = adaptive "
+                        "(`restoration_train.py:138-141`)")
+    p.add_argument("--channel_multiplier", type=int, default=2,
+                   help="StyleGAN2 channel multiplier (config-f = 2)")
     p.add_argument("--ada_target", type=float, default=0.6)
     p.add_argument("--ada_length", type=int, default=500 * 1000)
     p.add_argument("--ckpt", type=str, default=None)
@@ -152,11 +157,13 @@ def main(argv=None) -> None:
         d_reg_every=args.d_reg_every, g_reg_every=args.g_reg_every,
         percept_weight=args.percept_loss_weight,
         id_weight=args.id_loss_weight, mixing=args.mixing,
-        augment=args.augment, ada_target=args.ada_target,
+        augment=args.augment, augment_p=args.augment_p,
+        ada_target=args.ada_target,
         ada_length=args.ada_length,
         compute_dtype="bfloat16" if args.train_dtype == "bf16" else None)
     pipe = RestorationPipeline(size=args.size, mixing_prob=args.mixing,
                                decoder_size=args.decoder_size,
+                               channel_multiplier=args.channel_multiplier,
                                packed_min_res=args.packed_min_res)
     trainer = RestoreTrainer(cfg, pipe)
 

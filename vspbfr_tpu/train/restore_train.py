@@ -54,6 +54,10 @@ class RestoreTrainConfig:
     mixing: float = 0.5
     ema_decay: float = EMA_DECAY_DEFAULT
     augment: bool = False       # ADA, off by default (`:330-333`)
+    # fixed augmentation probability; 0 = adaptive (the reference's
+    # --augment_p semantics, `restoration_train.py:138-141`: > 0 disables
+    # the controller and augments at this constant p)
+    augment_p: float = 0.0
     ada_target: float = 0.6
     ada_length: int = 500 * 1000
     # rematerialize G/D forwards inside the grads. None = auto: ON in f32
@@ -208,11 +212,14 @@ class RestoreTrainer:
         fake_d = jax.lax.stop_gradient(
             self._generate(g_params, low, feats, clean, k_gen_d))
 
-        # optional ADA (`restoration_train.py:175-181`)
+        # optional ADA (`restoration_train.py:175-181`); augment_p > 0 =
+        # constant probability, controller off (`:138-141`)
         real_d = real
         if cfg.augment and ada_state is not None:
-            real_d = augment(k_aug_r, real, ada_state.p)
-            fake_d = augment(k_aug_f, fake_d, ada_state.p)
+            p_eff = (jnp.float32(cfg.augment_p) if cfg.augment_p > 0
+                     else ada_state.p)
+            real_d = augment(k_aug_r, real, p_eff)
+            fake_d = augment(k_aug_f, fake_d, p_eff)
 
         def d_loss_fn(d_params):
             real_pred = self._disc_apply(d_params, real_d)
@@ -226,8 +233,8 @@ class RestoreTrainer:
         d_state = d_state.apply_gradients(d_grads)
 
         # ---- ADA p controller, fed by the pre-update real_pred
-        # (`restoration_train.py:196-198`)
-        if cfg.augment and ada_state is not None:
+        # (`restoration_train.py:196-198`); bypassed at fixed augment_p
+        if cfg.augment and ada_state is not None and cfg.augment_p == 0:
             ada_state = ada_update(ada_state, real_pred,
                                    target=cfg.ada_target,
                                    ada_length=cfg.ada_length)
@@ -240,7 +247,7 @@ class RestoreTrainer:
             def r1_loss_fn(d_params):
                 def d_fn(x):
                     if cfg.augment and ada_state is not None:
-                        x = augment(k_aug_r1, x, ada_state.p)
+                        x = augment(k_aug_r1, x, p_eff)
                     return self._disc_apply(d_params, x)
                 pen = r1_penalty(d_fn, real)
                 return cfg.r1 / 2.0 * pen * cfg.d_reg_every, pen
@@ -368,10 +375,14 @@ class RestoreTrainer:
             g_state, g_ema, g_metrics = jit_g(
                 g_state, g_ema, d_state.params, frozen, low, real, clean,
                 feats, k_g,
-                *((ada_state.p,) if aug and ada_state is not None else ()))
+                *(((jnp.float32(self.cfg.augment_p)
+                    if self.cfg.augment_p > 0 else ada_state.p),)
+                  if aug and ada_state is not None else ()))
             metrics = {**d_metrics, **g_metrics}
             if aug and ada_state is not None:
-                metrics["ada_p"] = ada_state.p
+                metrics["ada_p"] = (jnp.float32(self.cfg.augment_p)
+                                    if self.cfg.augment_p > 0
+                                    else ada_state.p)
                 return g_state, d_state, g_ema, metrics, ada_state
             return g_state, d_state, g_ema, metrics
 

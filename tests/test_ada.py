@@ -190,3 +190,29 @@ def test_ada_controller_trajectory():
     # stable property; an early-window assertion was precision-fragile)
     late = float(np.mean(rt[-200:]))
     assert 0.3 < late < 0.85, late
+
+
+def test_upfir_mm_matches_conv(rng):
+    """The banded-matmul FIR form (MXU-shaped) must equal the depthwise conv
+    form exactly for both axes and both up/down configs (`non_leaking.py:877-905`
+    resampling semantics)."""
+    from vspbfr_tpu.losses import ada
+    x = jnp.asarray(rng.standard_normal((2, 37, 41, 3)), jnp.float32)
+    k = ada.SYM6
+    for fn_c, fn_m in ((ada._upfir_x, ada._upfir_x_mm),
+                       (ada._upfir_y, ada._upfir_y_mm)):
+        for up, down, pad in ((2, 1, (6, 5)), (1, 2, (1, 4)), (1, 1, (3, 3))):
+            a = fn_c(x, k, up, down, pad)
+            b = fn_m(x, k, up, down, pad)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_inv3_matches_linalg(rng):
+    """Closed-form adjugate inverse vs LU for the sampled transform family."""
+    from vspbfr_tpu.losses import ada
+    key = jax.random.PRNGKey(3)
+    G = ada.sample_affine(key, jnp.float32(0.7), 16, 128, 128)
+    np.testing.assert_allclose(np.asarray(ada._inv3(G)),
+                               np.asarray(jnp.linalg.inv(G)),
+                               rtol=1e-4, atol=1e-4)
